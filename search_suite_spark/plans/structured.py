@@ -1,0 +1,148 @@
+"""Structured boolean queries (Q11, SURVEY §2.5 / §3.3).
+
+Grammar — indentation-aligned operator prefixes, from the reference parser
+(/root/reference/searchapi3/src/Query/QueryParser.hs:21-89):
+
+    /\\ search          AND-conjunction: children are op tokens aligned at
+    /\\ \\/ .cs          the same column with the same op
+       \\/ .ts
+       \\/ .js
+    /\\ feature
+    -- excluded         SUB = set difference
+    ~ regex.*           leaf regex clause
+
+Evaluation (StructuredProcessor.hs:57-71): a Conjunction left-folds its
+children's unscored doc-id sets with union (\\/), intersection (/\\) or
+difference (--). Leaves are unscored conjunctive text queries or regex
+union queries.
+
+Spark mapping: each leaf is an unscored() DataFrame of (doc_id, url); the
+fold uses DataFrame set algebra (union+distinct / intersect / subtract) —
+Catalyst plans these as hash-joins/aggregations over the doc-id sets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from search_suite_spark.operators.build import InvertedIndex
+from search_suite_spark.operators.query import unscored
+
+
+@dataclass
+class Clause:
+    pass
+
+
+@dataclass
+class ClauseText(Clause):
+    text: str
+
+
+@dataclass
+class ClauseRegex(Clause):
+    pattern: str
+
+
+@dataclass
+class Conjunction(Clause):
+    op: str  # 'and' | 'or' | 'sub'
+    children: list[Clause]
+
+
+_OPS = {"/\\": "and", "\\/": "or", "--": "sub"}
+
+
+def _lex(query: str) -> list[tuple[str, int | None, str | None]]:
+    """Flatten the indented query into (kind, col, payload) tokens.
+
+    kind ∈ {op, regex, text}; op payload is 'and'/'or'/'sub', col is the
+    column of the op token; regex/text payload is the rest of the line.
+    """
+    tokens: list[tuple[str, int | None, str | None]] = []
+    for line in query.splitlines():
+        i = 0
+        n = len(line)
+        while True:
+            while i < n and line[i].isspace():
+                i += 1
+            two = line[i : i + 2]
+            if two in _OPS:
+                tokens.append(("op", i, _OPS[two]))
+                i += 2
+                continue
+            break
+        rest = line[i:].strip()
+        if not rest:
+            continue
+        if rest.startswith("~"):
+            tokens.append(("regex", None, rest[1:].strip()))
+        else:
+            tokens.append(("text", None, rest))
+    return tokens
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.tokens = tokens
+        self.pos = 0
+
+    def peek(self):
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def clause(self) -> Clause:
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("unexpected end of structured query")
+        kind, col, payload = tok
+        if kind == "op":
+            self.pos += 1
+            children = [self.clause()]
+            while True:
+                nxt = self.peek()
+                if nxt is None or nxt[0] != "op" or nxt[1] != col:
+                    break
+                if nxt[2] != payload:
+                    raise ValueError(
+                        f"operator mismatch at column {col}: {nxt[2]} vs {payload}"
+                    )
+                self.pos += 1
+                children.append(self.clause())
+            return Conjunction(payload, children)
+        self.pos += 1
+        if kind == "regex":
+            return ClauseRegex(payload)
+        return ClauseText(payload)
+
+
+def parse_structured_query(query: str) -> Clause:
+    p = _Parser(_lex(query))
+    clause = p.clause()
+    if p.peek() is not None:
+        raise ValueError("parse failure (leftover input)")
+    return clause
+
+
+def evaluate_structured(index: InvertedIndex, clause: Clause) -> DataFrame:
+    """Clause tree → DataFrame (doc_id, url) of the result doc set."""
+    if isinstance(clause, ClauseText):
+        return unscored(index, clause.text)
+    if isinstance(clause, ClauseRegex):
+        return unscored(index, clause.pattern, mode="regex")
+    assert isinstance(clause, Conjunction)
+    frames = [evaluate_structured(index, c) for c in clause.children]
+    acc = frames[0]
+    for f in frames[1:]:
+        if clause.op == "or":
+            acc = acc.unionByName(f).distinct()
+        elif clause.op == "and":
+            acc = acc.intersect(f)
+        else:  # sub
+            acc = acc.subtract(f)
+    return acc
+
+
+def structured_query(index: InvertedIndex, query: str) -> DataFrame:
+    return evaluate_structured(index, parse_structured_query(query))

@@ -1,0 +1,82 @@
+"""Structured boolean query parser + evaluator tests (Q11).
+
+Grammar per /root/reference/searchapi3/src/Query/QueryParser.hs:28-34;
+set semantics per Query/StructuredProcessor.hs:65-71.
+"""
+
+import pytest
+
+from search_suite_spark.operators.build import build_index
+from search_suite_spark.plans.structured import (
+    ClauseRegex,
+    ClauseText,
+    Conjunction,
+    parse_structured_query,
+    structured_query,
+)
+from search_suite_spark.sources.corpus import pages_from_docs_list
+
+
+def test_parse_reference_example():
+    q = "/\\ search\n/\\ \\/ .cs\n   \\/ .ts\n   \\/ .js\n/\\ feature"
+    c = parse_structured_query(q)
+    assert isinstance(c, Conjunction) and c.op == "and"
+    assert len(c.children) == 3
+    assert c.children[0] == ClauseText("search")
+    inner = c.children[1]
+    assert isinstance(inner, Conjunction) and inner.op == "or"
+    assert [x.text for x in inner.children] == [".cs", ".ts", ".js"]
+    assert c.children[2] == ClauseText("feature")
+
+
+def test_parse_regex_leaf():
+    c = parse_structured_query("~ ^ap.*")
+    assert c == ClauseRegex("^ap.*")
+
+
+def test_parse_mismatched_ops_rejected():
+    with pytest.raises(ValueError):
+        parse_structured_query("/\\ a\n\\/ b")
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    return build_index(
+        pages_from_docs_list(
+            spark,
+            [
+                ("u1", "apple banana cherry"),
+                ("u2", "apple banana"),
+                ("u3", "apple durian"),
+                ("u4", "elderberry"),
+            ],
+        )
+    )
+
+
+def urls(df):
+    return {r["url"] for r in df.collect()}
+
+
+def test_and(idx):
+    assert urls(structured_query(idx, "/\\ apple\n/\\ banana")) == {"u1", "u2"}
+
+
+def test_or(idx):
+    assert urls(structured_query(idx, "\\/ durian\n\\/ elderberry")) == {"u3", "u4"}
+
+
+def test_sub(idx):
+    assert urls(structured_query(idx, "-- apple\n-- banana")) == {"u3"}
+
+
+def test_nested(idx):
+    # apple AND (cherry OR durian)
+    q = "/\\ apple\n/\\ \\/ cherry\n   \\/ durian"
+    assert urls(structured_query(idx, q)) == {"u1", "u3"}
+
+
+def test_regex_leaf_eval(idx):
+    # terms starting with 'ba' or 'du' → banana/durian docs
+    q = "~ ^(ba|du)"
+    assert urls(structured_query(idx, q)) == {"u1", "u2", "u3"}
