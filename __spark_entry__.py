@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: build the inverted index over the sf0.001
+                corpus and run a BM25 top-k query.
+queries()     — one entry per implemented operator (SURVEY.md §2 +
+                training-data pipeline ops); each (spark, sf_dir) -> DF.
+oracle_sql()  — DuckDB-equivalent SQL per query, column-name & value
+                aligned (floats rounded to 6 dp on both sides).
 """
 
 from __future__ import annotations
@@ -15,24 +16,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index the sf0.001 corpus, answer a scored AND query."""
+    from search_suite_spark.entry_queries import _bm25
+
+    return _bm25(spark, "/root/testdata/sf0.001", "spark merge", limit=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from search_suite_spark.entry_queries import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_suite_spark.entry_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,615 @@
+"""Driver-contract query registry: Spark callables + DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 (plus the training-data
+pipeline operators) is registered here twice:
+
+  SPARK_QUERIES[name](spark, sf_dir) -> DataFrame
+  ORACLE_SQL[name] -> ANSI/DuckDB SQL over the pre-registered parquet views
+                      (documents, embeddings, ...)
+
+The two sides are kept *column-name and value identical*: every computed
+column is aliased the same, floats are rounded to 6 dp on both sides, and
+counts are BIGINT on both sides. The DuckDB tokenizer expression is an
+exact SQL transcription of search_suite_spark.functions.normalise (ASCII
+path), golden-tested in tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_suite_spark.operators.build import build_index, tokenized
+from search_suite_spark.operators.query import bm25_scored, score_expr, unscored
+from search_suite_spark.operators import dedup as D
+from search_suite_spark.operators import similarity as S
+from search_suite_spark.operators import text_analysis as TA
+from search_suite_spark.plans.structured import structured_query
+from search_suite_spark.operators.build import InvertedIndex
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+def tok_sql(col: str) -> str:
+    """DuckDB transcription of normalise() (ASCII path): runs of letters /
+    digits; camelCase deagglutination incl. the whole-word-at-group-1 quirk
+    (reference indexer-qp2/src/normalise.rs:35-42)."""
+    return f"""
+flatten(list_transform(
+  regexp_extract_all({col}, '[A-Za-z]+|[0-9]+'),
+  r -> CASE WHEN regexp_matches(r, '^[0-9]') THEN [r] ELSE
+    flatten(list_transform(
+      [string_split(regexp_replace(r, '([a-z])([A-Z])', '\\1 \\2', 'g'), ' ')],
+      g -> CASE WHEN len(g) > 1
+           THEN list_concat([lower(g[1]), lower(r)], list_transform(g[2:], x -> lower(x)))
+           ELSE [lower(r)] END))
+  END))
+""".strip()
+
+
+# pages + token/tf/doc_len/dict/stats CTEs over the documents view
+DOC_CTE = f"""
+pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+),
+tok AS (
+  SELECT url, unnest(list_concat({tok_sql('url')}, {tok_sql('text')})) AS term
+  FROM pages
+),
+tf AS (
+  SELECT url, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY url, term
+),
+dl AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS doc_len FROM tok GROUP BY url
+),
+dict AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS num_docs,
+         CAST(sum(doc_len) AS BIGINT) AS total_doc_len,
+         CAST(sum(doc_len) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+  FROM dl
+)
+""".strip()
+
+
+def bm25_sql(terms: list[str], extra_where: str = "", limit: int | None = None) -> str:
+    """Scored conjunctive BM25 query in SQL, scorer per ranking.rs:83-94."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    n = len(terms)
+    limit_clause = ""
+    if limit is not None:
+        limit_clause = f"ORDER BY score DESC, url LIMIT {limit}"
+    return f"""
+WITH {DOC_CTE},
+scored AS (
+  SELECT t.url,
+         sum( ln((stats.num_docs - dict.df + 0.5) / (dict.df + 0.5))
+              * (t.tf * 2.2)
+              / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.doc_len::DOUBLE / stats.avgdl::DOUBLE)))
+            ) AS exact_score,
+         CAST(count(*) AS BIGINT) AS term_count
+  FROM tf t
+  JOIN dict USING (term)
+  JOIN dl USING (url)
+  CROSS JOIN stats
+  WHERE t.term IN ({tl})
+  GROUP BY t.url
+  HAVING count(*) = {n}
+)
+SELECT url, round(exact_score, 6) AS score, term_count
+FROM scored {extra_where} {limit_clause}
+""".strip()
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+    )
+
+
+def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    return build_index(_pages(spark, sf_dir), dedupe=False)
+
+
+def _bm25(spark, sf_dir, query, limit=None, exclude_mod7=False):
+    idx = _index(spark, sf_dir)
+    if exclude_mod7:
+        deletes = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") % 7 == 0
+        ).select(
+            F.xxhash64(F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))).alias(
+                "doc_id"
+            )
+        )
+        idx = InvertedIndex(
+            postings=idx.postings, docs=idx.docs, terms=idx.terms,
+            num_docs=idx.num_docs, total_doc_len=idx.total_doc_len, deletes=deletes,
+        )
+    out = bm25_scored(idx, query, max_results=None)
+    out = out.select(
+        "url", F.round("score", 6).alias("score"), F.col("term_count").cast("long").alias("term_count")
+    )
+    if limit is not None:
+        out = out.orderBy(F.col("score").desc(), F.col("url")).limit(limit)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+def q_tokenize_tf(spark, sf_dir):
+    toks = tokenized(_pages(spark, sf_dir))
+    return toks.select("url", F.explode("term_freqs").alias("p")).select(
+        "url", F.col("p.term").alias("term"), F.col("p.tf").cast("long").alias("tf")
+    )
+
+
+def q_doc_table(spark, sf_dir):
+    return tokenized(_pages(spark, sf_dir)).select(
+        "url", F.col("doc_len").cast("long").alias("doc_len")
+    )
+
+
+def q_term_dict(spark, sf_dir):
+    return _index(spark, sf_dir).terms.select("term", F.col("df").cast("long").alias("df"))
+
+
+def q_index_stats(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return spark.createDataFrame(
+        [(idx.num_docs, idx.total_doc_len, idx.avgdl)],
+        "num_docs long, total_doc_len long, avgdl long",
+    )
+
+
+def q_bm25_single_term(spark, sf_dir):
+    return _bm25(spark, sf_dir, "spark")
+
+
+def q_bm25_multi_and(spark, sf_dir):
+    return _bm25(spark, sf_dir, "merge join")
+
+
+def q_bm25_topk(spark, sf_dir):
+    return _bm25(spark, sf_dir, "the fast", limit=10)
+
+
+def q_bm25_with_deletes(spark, sf_dir):
+    return _bm25(spark, sf_dir, "spark", exclude_mod7=True)
+
+
+def q_unscored_and(spark, sf_dir):
+    return unscored(_index(spark, sf_dir), "merge join sort").select("url")
+
+
+def q_unscored_regex(spark, sf_dir):
+    return unscored(_index(spark, sf_dir), "^jo", mode="regex").select("url")
+
+
+def q_structured_and_or(spark, sf_dir):
+    q = "/\\ spark\n/\\ \\/ merge\n   \\/ join"
+    return structured_query(_index(spark, sf_dir), q).select("url")
+
+
+def q_structured_sub(spark, sf_dir):
+    return structured_query(_index(spark, sf_dir), "-- spark\n-- window").select("url")
+
+
+def q_dedupe_newest_wins(spark, sf_dir):
+    from search_suite_spark.operators.build import dedupe_newest_wins
+
+    p = _pages(spark, sf_dir)
+    v1 = p.withColumn("warc_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    v2 = p.withColumn("warc_ts", F.to_timestamp(F.lit("2026-01-02 00:00:00"))).withColumn(
+        "text", F.concat("text", F.lit(" v2"))
+    )
+    return dedupe_newest_wins(v1.unionByName(v2)).select("url", "text")
+
+
+def q_verify_invariants(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    dup = (
+        idx.postings.groupBy("term", "doc_id").count().filter(F.col("count") > 1).count()
+    )
+    nonpos = idx.terms.filter(F.col("df") <= 0).count()
+    mismatch = (
+        idx.postings.groupBy("doc_id")
+        .agg(F.sum("tf").alias("s"), F.first("doc_len").alias("dl"))
+        .filter(F.col("s") != F.col("dl"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(dup, nonpos, mismatch)],
+        "dup_postings long, nonpos_df long, doclen_mismatch long",
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_pages(spark, sf_dir)).select(
+        "fingerprint", F.col("n_docs").cast("long").alias("n_docs"), "first_key"
+    )
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 40)
+    p = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"), "text"
+    )
+    return D.jaccard_pairs(p, n=1, threshold=0.9)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 60)
+    p = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"), "text"
+    )
+    return D.minhash_candidates(p, n=1, bands=4)
+
+
+def q_dedup_simhash16(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 100)
+    p = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"), "text"
+    )
+    return D.simhash16(p)
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "cos"
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.lsh_ann_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=8).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "cos"
+    )
+
+
+def q_emb_neardup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 80)
+    return D.embedding_neardup_pairs(emb, threshold=0.3).select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"), "cos"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return TA.lang_id(_pages(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return TA.quality_score(_pages(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return TA.token_counts(_pages(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return TA.doc_fingerprint(_pages(spark, sf_dir))
+
+
+SPARK_QUERIES = {
+    "tokenize_tf": q_tokenize_tf,
+    "doc_table": q_doc_table,
+    "term_dict": q_term_dict,
+    "index_stats": q_index_stats,
+    "bm25_single_term": q_bm25_single_term,
+    "bm25_multi_and": q_bm25_multi_and,
+    "bm25_topk": q_bm25_topk,
+    "bm25_with_deletes": q_bm25_with_deletes,
+    "unscored_and": q_unscored_and,
+    "unscored_regex": q_unscored_regex,
+    "structured_and_or": q_structured_and_or,
+    "structured_sub": q_structured_sub,
+    "dedupe_newest_wins": q_dedupe_newest_wins,
+    "verify_invariants": q_verify_invariants,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash16": q_dedup_simhash16,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "emb_neardup": q_emb_neardup,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _jaccard_sql(max_doc_id: int, threshold: float) -> str:
+    return f"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents WHERE doc_id < {max_doc_id}
+),
+sh AS (
+  SELECT DISTINCT url, unnest({tok_sql('text')}) AS shingle FROM pages
+),
+sz AS (SELECT url, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY url),
+inter AS (
+  SELECT x.url AS a, y.url AS b, CAST(count(*) AS BIGINT) AS ni
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.url < y.url
+  GROUP BY x.url, y.url
+)
+SELECT a, b, round(ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.url = a
+JOIN sz sb ON sb.url = b
+WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= {threshold}
+""".strip()
+
+
+def _minhash_sql(max_doc_id: int, bands: int) -> str:
+    return f"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents WHERE doc_id < {max_doc_id}
+),
+sh AS (
+  SELECT DISTINCT url, unnest({tok_sql('text')}) AS shingle FROM pages
+),
+sig AS (
+  SELECT url, b.band, min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS sig
+  FROM sh, (SELECT unnest(range({bands})) AS band) b
+  GROUP BY url, b.band
+)
+SELECT DISTINCT x.url AS a, y.url AS b
+FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
+WHERE x.url < y.url
+""".strip()
+
+
+def _simhash16_sql(max_doc_id: int) -> str:
+    votes = ", ".join(
+        "sum(CASE WHEN substr(md5(term), {j}, 1) IN ('8','9','a','b','c','d','e','f') "
+        "THEN tf ELSE -tf END) AS v{j}".format(j=j)
+        for j in range(1, 17)
+    )
+    bits = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(1, 17))
+    return f"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents WHERE doc_id < {max_doc_id}
+),
+tok AS (
+  SELECT url, unnest(list_concat({tok_sql('url')}, {tok_sql('text')})) AS term FROM pages
+),
+tf AS (SELECT url, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY url, term),
+v AS (SELECT url, {votes} FROM tf GROUP BY url)
+SELECT url, {bits} AS simhash FROM v
+""".strip()
+
+
+def _cosine_topk_sql() -> str:
+    return """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+p AS (
+  SELECT e.vec_id,
+         sum(e.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE) AS dot,
+         sqrt(sum(e.embedding[t.i]::DOUBLE * e.embedding[t.i]::DOUBLE)) AS ne,
+         sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE)) AS nq
+  FROM embeddings e, q, UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY e.vec_id
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(dot / (ne * nq), 6) AS cos
+FROM p ORDER BY cos DESC, vec_id LIMIT 10
+""".strip()
+
+
+def _lsh_topk_sql() -> str:
+    import search_suite_spark.operators.similarity as sim
+
+    dim, n_planes = 64, 8
+    planes = [sim.hyperplane(p, dim) for p in range(n_planes)]
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(str(x) for x in vec)}]::DOUBLE[])" for p, vec in enumerate(planes)
+    )
+    return f"""
+WITH planes(p, vec) AS (VALUES {plane_rows}),
+sig AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN sum(e.embedding[t.i]::DOUBLE * pl.vec[t.i]) > 0 THEN '1' ELSE '0' END AS bit
+  FROM embeddings e, planes pl, UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY e.vec_id, pl.p
+),
+buck AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sig GROUP BY vec_id),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+cands AS (SELECT b.vec_id FROM buck b, qb WHERE b.bucket = qb.bucket),
+p2 AS (
+  SELECT e.vec_id,
+         sum(e.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE) AS dot,
+         sqrt(sum(e.embedding[t.i]::DOUBLE * e.embedding[t.i]::DOUBLE)) AS ne,
+         sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE)) AS nq
+  FROM embeddings e JOIN cands USING (vec_id), q,
+       UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY e.vec_id
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(dot / (ne * nq), 6) AS cos
+FROM p2 ORDER BY cos DESC, vec_id LIMIT 10
+""".strip()
+
+
+_LANG_CASE_SCORES = ", ".join(
+    "len(list_filter(toks, t -> t IN ({m}))) AS s_{lang}".format(
+        lang=lang, m=", ".join(f"'{w}'" for w in TA.LANG_MARKERS[lang])
+    )
+    for lang in sorted(TA.LANG_MARKERS)
+)
+_LANG_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(TA.LANG_MARKERS)) + ")"
+_LANG_PRED = (
+    "CASE WHEN " + _LANG_BEST + " <= 0 THEN 'unk' "
+    + " ".join(
+        f"WHEN s_{lang} = {_LANG_BEST} THEN '{lang}'" for lang in sorted(TA.LANG_MARKERS)
+    )
+    + " END"
+)
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in TA.STOPWORDS)
+
+ORACLE_SQL = {
+    "tokenize_tf": f"WITH {DOC_CTE} SELECT url, term, tf FROM tf",
+    "doc_table": f"WITH {DOC_CTE} SELECT url, doc_len FROM dl",
+    "term_dict": f"WITH {DOC_CTE} SELECT term, df FROM dict",
+    "index_stats": f"WITH {DOC_CTE} SELECT num_docs, total_doc_len, avgdl FROM stats",
+    "bm25_single_term": bm25_sql(["spark"]),
+    "bm25_multi_and": bm25_sql(["merge", "join"]),
+    "bm25_topk": bm25_sql(["the", "fast"], limit=10),
+    "bm25_with_deletes": bm25_sql(
+        ["spark"],
+        extra_where=(
+            "WHERE url NOT IN (SELECT 'doc://' || CAST(doc_id AS VARCHAR) "
+            "FROM documents WHERE doc_id % 7 = 0)"
+        ),
+    ),
+    "unscored_and": f"""
+WITH {DOC_CTE}
+SELECT url FROM tf WHERE term = 'merge'
+INTERSECT SELECT url FROM tf WHERE term = 'join'
+INTERSECT SELECT url FROM tf WHERE term = 'sort'
+""".strip(),
+    "unscored_regex": f"""
+WITH {DOC_CTE}
+SELECT DISTINCT url FROM tf WHERE regexp_matches(term, '^jo')
+""".strip(),
+    "structured_and_or": f"""
+WITH {DOC_CTE}
+SELECT url FROM tf WHERE term = 'spark'
+INTERSECT
+(SELECT url FROM tf WHERE term = 'merge' UNION SELECT url FROM tf WHERE term = 'join')
+""".strip(),
+    "structured_sub": f"""
+WITH {DOC_CTE}
+SELECT url FROM tf WHERE term = 'spark'
+EXCEPT SELECT url FROM tf WHERE term = 'window'
+""".strip(),
+    "dedupe_newest_wins": """
+WITH v1 AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text,
+         TIMESTAMP '2026-01-01 00:00:00' AS warc_ts FROM documents
+),
+v2 AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text || ' v2' AS text,
+         TIMESTAMP '2026-01-02 00:00:00' AS warc_ts FROM documents
+),
+u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+r AS (SELECT url, text, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn FROM u)
+SELECT url, text FROM r WHERE rn = 1
+""".strip(),
+    "verify_invariants": f"""
+WITH {DOC_CTE},
+dup AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT url, term FROM tf GROUP BY url, term HAVING count(*) > 1
+  )
+),
+nonpos AS (SELECT CAST(count(*) AS BIGINT) AS c FROM dict WHERE df <= 0),
+mism AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT t.url FROM tf t JOIN dl USING (url)
+    GROUP BY t.url, dl.doc_len HAVING sum(t.tf) <> dl.doc_len
+  )
+)
+SELECT dup.c AS dup_postings, nonpos.c AS nonpos_df, mism.c AS doclen_mismatch
+FROM dup, nonpos, mism
+""".strip(),
+    "dedup_exact": """
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+)
+SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(url) AS first_key
+FROM pages GROUP BY md5(text)
+""".strip(),
+    "dedup_jaccard": _jaccard_sql(40, 0.9),
+    "dedup_minhash": _minhash_sql(60, 4),
+    "dedup_simhash16": _simhash16_sql(100),
+    "ann_cosine_topk": _cosine_topk_sql(),
+    "ann_lsh_topk": _lsh_topk_sql(),
+    "emb_neardup": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 80),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         sum(a.embedding[t.i]::DOUBLE * b.embedding[t.i]::DOUBLE) AS dot,
+         sqrt(sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE)) AS na,
+         sqrt(sum(b.embedding[t.i]::DOUBLE * b.embedding[t.i]::DOUBLE)) AS nb
+  FROM e a, e b, UNNEST(generate_series(1, len(a.embedding))) AS t(i)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, round(dot/(na*nb), 6) AS cos
+FROM p WHERE dot/(na*nb) >= 0.3
+""".strip(),
+    "lang_id": f"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+),
+t AS (SELECT url, {tok_sql('text')} AS toks FROM pages),
+s AS (SELECT url, {_LANG_CASE_SCORES} FROM t)
+SELECT url, {_LANG_PRED} AS pred_lang FROM s
+""".strip(),
+    "quality_score": f"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+),
+t AS (SELECT url, text, {tok_sql('text')} AS toks FROM pages),
+base AS (
+  SELECT url,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS BIGINT) AS n_stop
+  FROM t
+),
+calc AS (
+  SELECT url, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN n_types::DOUBLE / n_tokens ELSE 0.0 END AS ttr,
+         CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_ratio,
+         least(n_tokens / 100.0, 1.0) AS len_score
+  FROM base
+)
+SELECT url, n_chars, n_tokens,
+       round(ttr, 6) AS type_token_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round((len_score + ttr + greatest(1.0 - abs(stop_ratio - 0.4) / 0.4, 0.0)) / 3.0, 6) AS quality
+FROM calc
+""".strip(),
+    "token_counts": f"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+)
+SELECT url,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+       CAST(len({tok_sql('text')}) AS BIGINT) AS n_terms,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
+FROM pages
+""".strip(),
+    "doc_fingerprint": f"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+)
+SELECT url, md5(array_to_string({tok_sql('text')}, ' ')) AS fingerprint
+FROM pages
+""".strip(),
+}

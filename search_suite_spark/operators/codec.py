@@ -1,0 +1,226 @@
+"""Posting-list codec: block-aligned delta + variable-byte compression
+with per-block skip metadata.
+
+The reference stores raw interleaved LE u32 pairs
+(/root/reference/indexer-qp2/src/index_writer.rs:38-45); the north-star
+upgrade (BASELINE.json) is docID-sorted, delta + varbyte packed lists with
+block-max metadata for WAND skipping. Everything here is vectorized numpy
+(no per-element Python loops) because it runs inside Arrow UDFs on the
+executors.
+
+Layout (per posting list, BLOCK=128 postings per block):
+  ids buffer:  per block, the first doc_id absolute then deltas — delta
+               restarts at every block so blocks decode independently
+  tfs/dls:     varbyte, block-aligned (byte offsets recorded per block)
+  block_last:  largest doc_id in each block (skip pointer)
+  block_max_tf / block_min_dl: per-block impact bound inputs — the BM25
+               doc factor is ↑ in tf and ↓ in dl, so
+               impact(max_tf, min_dl) ≥ any impact in the block. Storing
+               the bound's *inputs* keeps packing independent of the
+               corpus-global avgdl (single-pass, resumable builds).
+  ids_offs/tfs_offs/dls_offs: byte offset of each block start, enabling
+               selective block decode during intersection skipping.
+
+Varbyte: 7-bit little-endian groups; high bit set = continuation
+(classic vByte, as in Lucene / Scholer et al.).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128
+K1 = 1.2
+B = 0.75
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized vByte encode of a non-negative uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp = tmp >> np.uint64(7)
+    nbytes = np.maximum(nbits // 7, 1).astype(np.int64)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    max_len = int(nbytes.max())
+    for j in range(max_len):
+        sel = nbytes > j
+        pos = starts[sel] + j
+        chunk = ((v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[sel] - 1 > j).astype(np.uint8) << 7
+        out[pos] = chunk | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | memoryview) -> np.ndarray:
+    """Vectorized vByte decode → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    group = np.zeros(b.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_last)[:-1]
+    n_vals = int(is_last.sum())
+    starts = np.zeros(n_vals, dtype=np.int64)
+    ends = np.flatnonzero(is_last)
+    starts[1:] = ends[:-1] + 1
+    pos_in_group = np.arange(b.size, dtype=np.int64) - starts[group]
+    vals = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(
+        vals,
+        group,
+        (b & np.uint8(0x7F)).astype(np.uint64) << (7 * pos_in_group).astype(np.uint64),
+    )
+    return vals
+
+
+def _varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp = tmp >> np.uint64(7)
+    return np.maximum(nbits // 7, 1).astype(np.int64)
+
+
+def impact(tfs: np.ndarray, dls: np.ndarray, avgdl: int) -> np.ndarray:
+    """Document-dependent BM25 factor (idf excluded), ranking.rs:83-88."""
+    tf = np.asarray(tfs, dtype=np.float64)
+    dl = np.asarray(dls, dtype=np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / float(avgdl)))
+
+
+def impact_bound(max_tf, min_dl, avgdl: int):
+    """Upper bound on impact within a block (scalar or vectorized)."""
+    return impact(np.asarray(max_tf), np.asarray(min_dl), avgdl)
+
+
+def _block_slices(n: int) -> list[tuple[int, int]]:
+    return [(s, min(s + BLOCK, n)) for s in range(0, n, BLOCK)]
+
+
+def pack_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
+    """Posting list → packed block-aligned columns (sorted by doc_id).
+
+    doc_ids are treated as uint64 (callers map signed xxhash64 ids via
+    two's-complement reinterpretation, preserving an unsigned sort order).
+    """
+    order = np.argsort(np.asarray(doc_ids, dtype=np.uint64), kind="stable")
+    ids = np.asarray(doc_ids, dtype=np.uint64)[order]
+    t = np.asarray(tfs, dtype=np.uint64)[order]
+    d = np.asarray(dls, dtype=np.uint64)[order]
+    n = int(ids.size)
+
+    # block-restarted deltas: first id of each block absolute
+    deltas = np.empty_like(ids)
+    deltas[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    block_starts = np.arange(0, n, BLOCK)
+    deltas[block_starts] = ids[block_starts]
+
+    id_lens = _varbyte_lengths(deltas)
+    tf_lens = _varbyte_lengths(t)
+    dl_lens = _varbyte_lengths(d)
+
+    slices = _block_slices(n)
+    ids_offs = [0]
+    tfs_offs = [0]
+    dls_offs = [0]
+    block_last, block_max_tf, block_min_dl = [], [], []
+    for s, e in slices:
+        ids_offs.append(ids_offs[-1] + int(id_lens[s:e].sum()))
+        tfs_offs.append(tfs_offs[-1] + int(tf_lens[s:e].sum()))
+        dls_offs.append(dls_offs[-1] + int(dl_lens[s:e].sum()))
+        block_last.append(int(ids[e - 1]))
+        block_max_tf.append(int(t[s:e].max()))
+        block_min_dl.append(int(d[s:e].min()))
+
+    return {
+        "n": n,
+        "ids": varbyte_encode(deltas),
+        "tfs": varbyte_encode(t),
+        "dls": varbyte_encode(d),
+        "ids_offs": ids_offs[:-1],
+        "tfs_offs": tfs_offs[:-1],
+        "dls_offs": dls_offs[:-1],
+        "block_last": block_last,
+        "block_max_tf": block_max_tf,
+        "block_min_dl": block_min_dl,
+    }
+
+
+def unpack_posting_list(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decode of a packed row → (doc_ids, tfs, dls), uint64."""
+    deltas = varbyte_decode(bytes(row["ids"]))
+    ids = _blockwise_cumsum(deltas)
+    tfs = varbyte_decode(bytes(row["tfs"]))
+    dls = varbyte_decode(bytes(row["dls"]))
+    return ids, tfs, dls
+
+
+def _blockwise_cumsum(deltas: np.ndarray) -> np.ndarray:
+    """Cumsum that restarts at every BLOCK boundary (vectorized)."""
+    n = deltas.size
+    c = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.arange(0, n, BLOCK)
+    # deltas at block starts are absolute ids; subtract the cumsum carried
+    # in from previous blocks
+    prior = np.zeros(starts.size, dtype=np.uint64)
+    prior[1:] = c[starts[1:] - 1]
+    block_idx = np.arange(n) // BLOCK
+    return c - prior[block_idx]
+
+
+def unpack_blocks(
+    row, block_indices: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Selective decode: only the given block indices.
+
+    Returns (doc_ids, tfs, dls, posting_positions) for postings in those
+    blocks; posting_positions are absolute posting indices (for callers
+    that need them). This is the skip-read used by the conjunctive
+    block-max intersection — at a 10^12-doc scale, decoding only the
+    blocks that can contain candidates is the difference between reading
+    MBs and GBs per query term.
+    """
+    n = int(row["n"])
+    ids_buf = bytes(row["ids"])
+    tfs_buf = bytes(row["tfs"])
+    dls_buf = bytes(row["dls"])
+    ids_offs = list(row["ids_offs"]) + [len(ids_buf)]
+    tfs_offs = list(row["tfs_offs"]) + [len(tfs_buf)]
+    dls_offs = list(row["dls_offs"]) + [len(dls_buf)]
+
+    out_ids, out_tfs, out_dls, out_pos = [], [], [], []
+    for bi in np.unique(np.asarray(block_indices, dtype=np.int64)):
+        bi = int(bi)
+        s = bi * BLOCK
+        e = min(s + BLOCK, n)
+        deltas = varbyte_decode(ids_buf[ids_offs[bi] : ids_offs[bi + 1]])
+        out_ids.append(np.cumsum(deltas, dtype=np.uint64))
+        out_tfs.append(varbyte_decode(tfs_buf[tfs_offs[bi] : tfs_offs[bi + 1]]))
+        out_dls.append(varbyte_decode(dls_buf[dls_offs[bi] : dls_offs[bi + 1]]))
+        out_pos.append(np.arange(s, e, dtype=np.int64))
+    if not out_ids:
+        z = np.empty(0, dtype=np.uint64)
+        return z, z.copy(), z.copy(), np.empty(0, dtype=np.int64)
+    return (
+        np.concatenate(out_ids),
+        np.concatenate(out_tfs),
+        np.concatenate(out_dls),
+        np.concatenate(out_pos),
+    )

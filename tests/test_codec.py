@@ -1,0 +1,101 @@
+"""Codec roundtrip tests (hypothesis, mirroring the reference's
+byte_tests.rs property loops) + block metadata invariants + selective
+block decode."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_suite_spark.operators.codec import (
+    BLOCK,
+    impact,
+    impact_bound,
+    pack_posting_list,
+    unpack_blocks,
+    unpack_posting_list,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(arr)), arr)
+
+
+def test_varbyte_known_values():
+    # 0 -> 0x00; 127 -> 0x7f; 128 -> 0x80 0x01 (little-endian 7-bit)
+    assert varbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varbyte_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+posting_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**63 + 2**62),  # uint64 domain
+        st.integers(min_value=1, max_value=1000),
+        st.integers(min_value=1, max_value=100000),
+    ),
+    min_size=1,
+    max_size=600,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(posting_lists)
+@settings(max_examples=100, deadline=None)
+def test_pack_unpack_roundtrip(rows):
+    ids = np.array([r[0] for r in rows], dtype=np.uint64)
+    tfs = np.array([r[1] for r in rows], dtype=np.uint64)
+    dls = np.array([r[2] for r in rows], dtype=np.uint64)
+    packed = pack_posting_list(ids, tfs, dls)
+    gids, gtfs, gdls = unpack_posting_list(packed)
+    order = np.argsort(ids, kind="stable")
+    assert np.array_equal(gids, ids[order])
+    assert np.array_equal(gtfs, tfs[order])
+    assert np.array_equal(gdls, dls[order])
+
+    n = len(rows)
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    assert len(packed["block_last"]) == n_blocks
+    assert packed["block_last"][-1] == int(np.sort(ids)[-1])
+    # impact bound property: block bound >= every impact in the block
+    imp = impact(gtfs, gdls, 57)
+    for i in range(n_blocks):
+        s, e = i * BLOCK, min((i + 1) * BLOCK, n)
+        bound = impact_bound(packed["block_max_tf"][i], packed["block_min_dl"][i], 57)
+        assert (imp[s:e] <= bound + 1e-12).all()
+
+
+@given(posting_lists, st.data())
+@settings(max_examples=60, deadline=None)
+def test_selective_block_decode(rows, data):
+    ids = np.array([r[0] for r in rows], dtype=np.uint64)
+    tfs = np.array([r[1] for r in rows], dtype=np.uint64)
+    dls = np.array([r[2] for r in rows], dtype=np.uint64)
+    packed = pack_posting_list(ids, tfs, dls)
+    n_blocks = len(packed["block_last"])
+    pick = data.draw(
+        st.lists(st.integers(min_value=0, max_value=n_blocks - 1), min_size=1, max_size=5)
+    )
+    gids, gtfs, gdls, gpos = unpack_blocks(packed, np.array(pick))
+    fids, ftfs, fdls = unpack_posting_list(packed)
+    want = np.concatenate(
+        [np.arange(b * BLOCK, min((b + 1) * BLOCK, len(rows))) for b in sorted(set(pick))]
+    )
+    assert np.array_equal(gpos, want)
+    assert np.array_equal(gids, fids[want])
+    assert np.array_equal(gtfs, ftfs[want])
+    assert np.array_equal(gdls, fdls[want])
+
+
+def test_compression_beats_raw():
+    ids = np.arange(0, 100000, 3, dtype=np.uint64)
+    tfs = np.ones_like(ids)
+    dls = np.full_like(ids, 57)
+    packed = pack_posting_list(ids, tfs, dls)
+    raw_bytes = ids.size * 8
+    assert len(packed["ids"]) < raw_bytes / 4

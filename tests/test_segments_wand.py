@@ -1,0 +1,144 @@
+"""Packed-segment build + WAND query tests:
+
+  - rank identity: WAND over the packed segment must reproduce the flat
+    DataFrame path's (url, score) results exactly (rel tol 1e-9)
+  - resume: interrupted builds complete without recomputing finished
+    shards (per-partition lineage, north_rule)
+  - deletion filtering inside the shard kernel
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_suite_spark.operators.build import build_index
+from search_suite_spark.operators.query import bm25_scored
+from search_suite_spark.operators.wand import wand_scored
+from search_suite_spark.sources.segments import (
+    build_segment,
+    completed_shards,
+    delete_url,
+    read_segment,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pages(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def seg(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("seg"))
+    return build_segment(_pages(spark), d, n_shards=4, shards_per_batch=2)
+
+
+@pytest.fixture(scope="module")
+def flat(spark):
+    return build_index(_pages(spark), dedupe=False)
+
+
+QUERIES = ["spark", "merge join", "the fast key", "doc", "zzznope", "spark zzznope"]
+
+
+def test_wand_rank_identity_vs_flat(spark, seg, flat):
+    for q in QUERIES:
+        w = {(r["url"]): (r["score"], r["term_count"]) for r in wand_scored(seg, q).collect()}
+        f = {(r["url"]): (r["score"], r["term_count"]) for r in bm25_scored(flat, q).collect()}
+        assert set(w) == set(f), f"url set mismatch for {q!r}"
+        for url, (score, tc) in f.items():
+            assert w[url][0] == pytest.approx(score, rel=1e-9), f"{q!r} {url}"
+            assert w[url][1] == tc
+
+
+def test_wand_topk_matches_flat_topk(spark, seg, flat):
+    w = wand_scored(seg, "spark", max_results=5).collect()
+    f = bm25_scored(flat, "spark", max_results=5).collect()
+    assert len(w) == 5
+    assert [r["url"] for r in w] == [r["url"] for r in f]
+    for a, b in zip(w, f):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+
+
+def test_segment_stats_match_flat(seg, flat):
+    assert seg.num_docs == flat.num_docs
+    assert seg.total_doc_len == flat.total_doc_len
+
+
+def test_lineage_complete(spark, seg):
+    assert completed_shards(spark, seg.path) == {0, 1, 2, 3}
+    lineage = spark.read.parquet(f"{seg.path}/lineage")
+    row = lineage.agg(
+        F.sum("n_docs").alias("nd"), F.sum("n_postings").alias("np")
+    ).collect()[0]
+    assert row["nd"] == seg.num_docs
+    assert row["np"] > 0
+
+
+def test_resume_skips_completed_shards(spark, seg):
+    import os
+
+    # no-op resume: postings files untouched
+    before = {
+        p: os.path.getmtime(os.path.join(dp, p))
+        for dp, _, fs in os.walk(f"{seg.path}/postings")
+        for p in fs
+    }
+    build_segment(_pages(spark), seg.path, n_shards=4, shards_per_batch=2)
+    after = {
+        p: os.path.getmtime(os.path.join(dp, p))
+        for dp, _, fs in os.walk(f"{seg.path}/postings")
+        for p in fs
+    }
+    assert before == after
+
+
+def test_resume_completes_interrupted_build(spark, seg, flat, tmp_path):
+    d = str(tmp_path / "seg_interrupted")
+    # simulate a crash after the first batch: copy only shards {0,1}'s
+    # lineage and drop shard 2/3 postings+docs
+    import os
+
+    shutil.copytree(seg.path, d)
+    lin = spark.read.parquet(f"{seg.path}/lineage").filter(F.col("shard") < 2)
+    lin_pd = lin.toPandas()
+    shutil.rmtree(f"{d}/lineage")
+    spark.createDataFrame(lin_pd).write.parquet(f"{d}/lineage")
+    for s in (2, 3):
+        shutil.rmtree(f"{d}/postings/shard={s}")
+        shutil.rmtree(f"{d}/docs/shard={s}")
+
+    assert completed_shards(spark, d) == {0, 1}
+    seg2 = build_segment(_pages(spark), d, n_shards=4, shards_per_batch=2)
+    assert completed_shards(spark, d) == {0, 1, 2, 3}
+    assert seg2.num_docs == seg.num_docs
+
+    w = {r["url"]: r["score"] for r in wand_scored(seg2, "merge join").collect()}
+    f = {r["url"]: r["score"] for r in bm25_scored(flat, "merge join").collect()}
+    assert set(w) == set(f)
+    for url, score in f.items():
+        assert w[url] == pytest.approx(score, rel=1e-9)
+
+
+def test_wand_deletion(spark, seg, flat):
+    full = {r["url"] for r in wand_scored(seg, "spark").collect()}
+    victim = sorted(full)[0]
+    delete_url(spark, seg, victim)
+    seg2 = read_segment(spark, seg.path)
+    seg2 = type(seg2)(
+        path=seg2.path, postings=seg2.postings, docs=seg2.docs,
+        num_docs=seg2.num_docs, total_doc_len=seg2.total_doc_len,
+        deletes=seg2.deletes,
+    )
+    after = {r["url"] for r in wand_scored(seg2, "spark").collect()}
+    assert after == full - {victim}
+    # stats unchanged by deletion (ranking.rs:48-50)
+    assert seg2.num_docs == flat.num_docs
