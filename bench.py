@@ -1,0 +1,124 @@
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline set:
+  index_build    packed-segment build (tokenize -> pack -> write),
+                 replication-scaled corpus; also reported as docs/sec
+  bm25_*         scored conjunctive queries over the packed segment via
+                 the block-max shard kernel (operators/wand.py)
+  unscored_*     boolean retrieval + structured set algebra
+  dedup_minhash  MinHash/LSH candidate pairs over documents
+  ann_cosine     brute-force cosine top-k over embeddings
+  text_scan      lang-id + quality scoring full scan
+
+Scaling-efficiency evidence (north_rule: N vs 4N): run
+`python tools/scaling_bench.py` which executes the *same* index_build at
+local[8] and local[32] in separate processes and appends to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replication = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATION", "10"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    from pyspark.sql import functions as F
+
+    from search_suite_spark.session import get_spark
+    from search_suite_spark.sources.corpus import pages_from_documents
+    from search_suite_spark.sources.segments import build_segment
+    from search_suite_spark.operators.wand import wand_scored
+    from search_suite_spark.operators.query import bm25_scored, unscored
+    from search_suite_spark.operators.build import build_index
+    from search_suite_spark.plans.structured import structured_query
+    from search_suite_spark.operators import dedup as D
+    from search_suite_spark.operators import similarity as S
+    from search_suite_spark.operators import text_analysis as TA
+
+    spark = get_spark(app="search_suite_bench", cores=cpus,
+                      shuffle_partitions=max(cpus, 16))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    pages = pages_from_documents(spark, sf_dir, replication=replication).cache()
+    n_docs = pages.count()  # materialize input outside the timed build
+    extras["n_docs"] = n_docs
+
+    seg_dir = tempfile.mkdtemp(prefix="bench_seg_")
+    try:
+        seg = timed("index_build", lambda: build_segment(
+            pages, seg_dir, n_shards=max(cpus, 16), shards_per_batch=max(cpus, 16),
+            resume=False, dedupe=True))
+        extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+
+        timed("bm25_topk_packed", lambda: wand_scored(
+            seg, "merge join", max_results=10).collect())
+        timed("bm25_single_packed", lambda: wand_scored(
+            seg, "spark", max_results=10).collect())
+        timed("bm25_rare_and_packed", lambda: wand_scored(
+            seg, "window shuffle sort", max_results=10).collect())
+
+        # flat (relational) path on the same corpus, for comparison
+        idx = build_index(pages, dedupe=True)
+        timed("bm25_topk_flat", lambda: bm25_scored(
+            idx, "merge join", max_results=10).collect())
+        timed("unscored_and", lambda: unscored(idx, "merge join sort").count())
+        timed("structured_and_or", lambda: structured_query(
+            idx, "/\\ spark\n/\\ \\/ merge\n   \\/ join").count())
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+        )
+        timed("dedup_minhash", lambda: D.minhash_candidates(
+            docs, n=1, bands=4).count())
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+              .select("embedding").collect()[0]["embedding"]]
+        timed("ann_cosine", lambda: S.cosine_topk(emb, qv, k=10).collect())
+
+        timed("text_scan", lambda: TA.quality_score(
+            docs).join(TA.lang_id(docs), "url").count())
+    finally:
+        shutil.rmtree(seg_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "index-build + BM25 top-k + training-data ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

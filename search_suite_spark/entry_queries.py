@@ -112,8 +112,21 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INDEX_CACHE: dict[tuple[int, str], InvertedIndex] = {}
+
+
 def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
-    return build_index(_pages(spark, sf_dir), dedupe=False)
+    """Build (once per session+sf_dir) the flat index; the driver calls
+    ~25 queries() entries in one process — rebuilding the index per query
+    would re-run the tokenizer 25x."""
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        idx = build_index(_pages(spark, sf_dir), dedupe=False)
+        # materialize the cached frames once so later queries reuse them
+        idx.postings.count()
+        idx.terms.count()
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
 
 
 def _bm25(spark, sf_dir, query, limit=None, exclude_mod7=False):

@@ -1,0 +1,122 @@
+"""Segment merge as a sort-merge over posting shards (SURVEY §2.4).
+
+The reference merges two segments with hand-written streaming 2-way
+sorted merges (/root/reference/indexer-qp2/src/merge/merge.rs:24-105):
+url-dedupe (common_urls.rs:108-136, side A wins), docid-collision remap
+(common_docids.rs:30-138), doc-table merge filtering deleted docs
+(merge.rs:412-588), and term+postings merge (merge.rs:107-297).
+
+Spark-first re-expression:
+  - doc ids are deterministic (xxhash64(url)), so the docid-collision
+    remap (M3/M4) vanishes by construction — the same url maps to the
+    same id on both sides, and distinct-url collisions are audited, not
+    repaired.
+  - url dedupe (M2/M5/M6): side A wins, expressed as a left_anti join of
+    B's docs against A's urls.
+  - deleted docs are garbage-collected during the merge (the reference
+    writes a fresh zeroed deletions bitset, merge.rs:96-104): both
+    sides' deletes filter their doc tables *before* the union, and the
+    merged segment starts with no deletes. num_docs / totalDocLength
+    shrink accordingly (merge.rs:289-290 recomputes totals from merged
+    postings).
+  - term+postings merge (M7): decode both sides' packed lists to flat
+    (term, doc_id, tf, doc_len) rows, union, and repack grouped by
+    (shard, term-bucket) — Spark's shuffle *is* the external sort the
+    reference delegates to coreutils sort (common_urls.rs:122-129).
+    Since doc_id = xxhash64(url), shard = pmod(doc_id, n_shards) can be
+    recomputed at merge time, so merging segments with different shard
+    counts re-shards for free.
+
+Scale: each side streams through one mapInPandas decode (no driver
+materialization); the only shuffle is the (shard, tbucket) repack —
+identical to the build path, so the merge cost is ~ a build over the
+union's postings without the tokenize pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_suite_spark.operators.codec import unpack_posting_list
+from search_suite_spark.sources.segments import (
+    Segment,
+    pack_and_write,
+    read_segment,
+    shard_of_doc_id,
+)
+
+FLAT_SCHEMA = "term string, doc_id long, tf long, doc_len long"
+
+
+def unpack_flat(seg: Segment) -> DataFrame:
+    """Decode a segment's packed postings back to flat rows
+    (term, doc_id, tf, doc_len) — streaming, one Arrow batch at a time."""
+
+    def decode(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ids, tfs, dls = unpack_posting_list(row)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": np.repeat(row["term"], ids.size),
+                            "doc_id": ids.view(np.int64),
+                            "tf": tfs.astype(np.int64),
+                            "doc_len": dls.astype(np.int64),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return seg.postings.mapInPandas(decode, FLAT_SCHEMA)
+
+
+def _live_docs(seg: Segment) -> DataFrame:
+    docs = seg.docs
+    if seg.deletes is not None:
+        docs = docs.join(
+            F.broadcast(seg.deletes.select("doc_id").distinct()), "doc_id", "left_anti"
+        )
+    return docs
+
+
+def merge_segments(
+    spark: SparkSession,
+    seg_a: Segment,
+    seg_b: Segment,
+    dest_dir: str,
+    n_shards: int = 16,
+    n_tbuckets: int = 64,
+) -> Segment:
+    """Merge two segments into dest_dir; side A wins duplicate urls
+    (reference merge/common_urls.rs:57-106 keeps the first side's doc)."""
+    docs_a = _live_docs(seg_a)
+    docs_b = _live_docs(seg_b).join(
+        docs_a.select("url"), "url", "left_anti"
+    )
+
+    keep_cols = ["doc_id", "url", "doc_len"]
+    if "warc_ts" in docs_a.columns and "warc_ts" in docs_b.columns:
+        keep_cols.append("warc_ts")
+    docs = (
+        docs_a.select(*keep_cols)
+        .unionByName(docs_b.select(*keep_cols))
+        .withColumn("shard", shard_of_doc_id(n_shards))
+    )
+
+    live_ids_a = docs_a.select("doc_id")
+    live_ids_b = docs_b.select("doc_id")
+    flat = (
+        unpack_flat(seg_a)
+        .join(live_ids_a, "doc_id", "left_semi")
+        .unionByName(unpack_flat(seg_b).join(live_ids_b, "doc_id", "left_semi"))
+        .withColumn("shard", shard_of_doc_id(n_shards))
+    )
+
+    pack_and_write(spark, flat, docs, dest_dir, n_tbuckets)
+    return read_segment(spark, dest_dir)

@@ -64,18 +64,33 @@ def _u64_to_i64(vals) -> list[int]:
     return np.asarray(vals, dtype=np.uint64).view(np.int64).tolist()
 
 
-def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas packer for one (term, shard) posting list."""
-    term = pdf["term"].iloc[0]
+def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas packer for one (shard, term-bucket) group.
+
+    One group = many complete posting lists. Grouping by (shard, tbucket)
+    instead of (term, shard) keeps the Python-side group count bounded
+    (shards × buckets, not |vocabulary| × shards — per-group overhead in
+    applyInPandas is the dominant cost otherwise) while the bucket hash
+    still bounds group *size*: the largest group is ~(postings in shard)
+    / n_tbuckets, so executor memory stays flat as the corpus grows.
+    """
     shard = int(pdf["shard"].iloc[0])
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64).view(np.uint64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64).astype(np.uint64)
-    dls = pdf["doc_len"].to_numpy(dtype=np.int64).astype(np.uint64)
-    p = pack_posting_list(ids, tfs, dls)
-    return pd.DataFrame(
-        [
+    terms = pdf["term"].to_numpy()
+    order = np.argsort(terms, kind="stable")
+    terms = terms[order]
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)[order].view(np.uint64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)[order].astype(np.uint64)
+    dls = pdf["doc_len"].to_numpy(dtype=np.int64)[order].astype(np.uint64)
+
+    starts = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
+    bounds = np.append(starts, terms.size)
+    rows = []
+    for i in range(starts.size):
+        s, e = bounds[i], bounds[i + 1]
+        p = pack_posting_list(ids[s:e], tfs[s:e], dls[s:e])
+        rows.append(
             {
-                "term": term,
+                "term": terms[s],
                 "shard": shard,
                 "n": p["n"],
                 "ids": p["ids"],
@@ -88,8 +103,8 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 "block_max_tf": [int(x) for x in p["block_max_tf"]],
                 "block_min_dl": [int(x) for x in p["block_min_dl"]],
             }
-        ]
-    )
+        )
+    return pd.DataFrame(rows)
 
 
 @dataclass
@@ -104,6 +119,92 @@ class Segment:
     @property
     def avgdl(self) -> int:
         return self.total_doc_len // self.num_docs  # ranking.rs:50 parity
+
+
+def shard_of_doc_id(n_shards: int):
+    """shard = pmod(doc_id, n_shards); doc_id IS xxhash64(url), so the
+    doc-hash shard is derivable from doc_id alone — segment merges can
+    re-shard postings without consulting the docs table."""
+    return F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+
+
+def pack_and_write(
+    spark: SparkSession,
+    flat: DataFrame,
+    docs: DataFrame,
+    seg_dir: str,
+    n_tbuckets: int = 64,
+    shards: list[int] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Pack flat postings (term, shard, doc_id, tf, doc_len) + docs rows
+    into segment tables under seg_dir and append per-shard lineage.
+
+    Shared by the from-pages build and the segment merge. ``shards``
+    restricts the lineage computation to a batch (resume granularity).
+    """
+    postings_path = os.path.join(seg_dir, "postings")
+    docs_path = os.path.join(seg_dir, "docs")
+    lineage_path = os.path.join(seg_dir, "lineage")
+    t0 = time.monotonic()
+
+    packed = (
+        flat.withColumn(
+            "tbucket", F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)).cast("int")
+        )
+        .groupBy("shard", "tbucket")
+        .applyInPandas(_pack_bucket, PACKED_SCHEMA)
+    )
+    (
+        packed.repartition("shard")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(postings_path)
+    )
+    (
+        docs.repartition("shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(docs_path)
+    )
+
+    ms = int((time.monotonic() - t0) * 1000)
+    post_read = spark.read.parquet(postings_path)
+    docs_read = spark.read.parquet(docs_path)
+    if shards is not None:
+        post_read = post_read.filter(F.col("shard").isin(shards))
+        docs_read = docs_read.filter(F.col("shard").isin(shards))
+    # lineage metrics from the data just written (read-back = truth)
+    lineage = (
+        post_read.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("n").alias("n_postings"),
+            F.sum(F.length("ids") + F.length("tfs") + F.length("dls")).alias(
+                "packed_bytes"
+            ),
+        )
+        .join(
+            docs_read.groupBy("shard").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_len").alias("total_doc_len"),
+            ),
+            "shard",
+            "right",  # a shard can have docs even if tiny/no postings
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_doc_len",
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
+            F.coalesce("packed_bytes", F.lit(0)).alias("packed_bytes"),
+            F.lit(ms).alias("ms"),
+        )
+    )
+    lineage.write.mode("append").parquet(lineage_path)
 
 
 def completed_shards(spark: SparkSession, seg_dir: str) -> set[int]:
@@ -122,6 +223,7 @@ def build_segment(
     shards_per_batch: int = 8,
     resume: bool = True,
     dedupe: bool = True,
+    n_tbuckets: int = 64,
 ) -> Segment:
     """Build (or resume building) a packed segment from a pages frame.
 
@@ -144,16 +246,11 @@ def build_segment(
         "shard", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
     )
 
-    postings_path = os.path.join(seg_dir, "postings")
-    docs_path = os.path.join(seg_dir, "docs")
-    lineage_path = os.path.join(seg_dir, "lineage")
-
     for i in range(0, len(todo), shards_per_batch):
         batch = todo[i : i + shards_per_batch]
-        t0 = time.monotonic()
         bpages = sharded.filter(F.col("shard").isin(batch))
         toks = tokenized(bpages.drop("shard")).withColumn(
-            "shard", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
+            "shard", shard_of_doc_id(n_shards)
         )
 
         docs_cols = ["doc_id", "url", "doc_len", "shard"]
@@ -170,52 +267,10 @@ def build_segment(
             F.col("p.tf").alias("tf"),
             "doc_len",
         )
-        packed = flat.groupBy("term", "shard").applyInPandas(_pack_group, PACKED_SCHEMA)
-
-        (
-            packed.repartition("shard")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(postings_path)
-        )
-        (
-            docs_b.repartition("shard")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(docs_path)
-        )
-
-        ms = int((time.monotonic() - t0) * 1000)
-        # lineage metrics from the data just written (read-back = truth)
-        lineage = (
-            spark.read.parquet(postings_path)
-            .filter(F.col("shard").isin(batch))
-            .groupBy("shard")
-            .agg(
-                F.count("*").alias("n_terms"),
-                F.sum("n").alias("n_postings"),
-                F.sum(
-                    F.length("ids") + F.length("tfs") + F.length("dls")
-                ).alias("packed_bytes"),
-            )
-            .join(
-                spark.read.parquet(docs_path)
-                .filter(F.col("shard").isin(batch))
-                .groupBy("shard")
-                .agg(
-                    F.count("*").alias("n_docs"),
-                    F.sum("doc_len").alias("total_doc_len"),
-                ),
-                "shard",
-            )
-            .select(
-                "shard", "n_docs", "total_doc_len", "n_terms", "n_postings",
-                "packed_bytes", F.lit(ms).alias("ms"),
-            )
-        )
-        lineage.write.mode("append").parquet(lineage_path)
+        # salted two-phase shape: the shuffle key (shard, tbucket) bounds
+        # both group size (postings/shard/n_tbuckets — stop-word skew) and
+        # group count (Python-side applyInPandas overhead)
+        pack_and_write(spark, flat, docs_b, seg_dir, n_tbuckets, shards=batch)
 
     return read_segment(spark, seg_dir)
 
