@@ -75,6 +75,16 @@ def main() -> None:
             resume=False, dedupe=True))
         extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
+        # settle to steady state before latency measurements: the first job
+        # after a heavy build otherwise absorbs the build's deferred JVM GC
+        # + shuffle-cleanup cost (measured ~30s spikes on local[32])
+        import gc as _gc
+
+        spark.range(10_000_000).selectExpr("sum(id)").collect()
+        _gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(2)
+
         timed("bm25_topk_packed", lambda: wand_scored(
             seg, "merge join", max_results=10).collect())
         timed("bm25_single_packed", lambda: wand_scored(
@@ -95,7 +105,7 @@ def main() -> None:
             "text",
         )
         timed("dedup_minhash", lambda: D.minhash_candidates(
-            docs, n=1, bands=4).count())
+            docs, n=3, bands=8, max_bucket=200).count())
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)

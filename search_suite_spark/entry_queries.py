@@ -113,6 +113,24 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _INDEX_CACHE: dict[tuple[int, str], InvertedIndex] = {}
+_SEG_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _segment(spark: SparkSession, sf_dir: str):
+    """Build (once per session+sf_dir) a packed on-disk segment for the
+    WAND-path queries."""
+    import tempfile
+
+    from search_suite_spark.sources.segments import build_segment
+
+    key = (id(spark), sf_dir)
+    if key not in _SEG_CACHE:
+        d = tempfile.mkdtemp(prefix="entry_seg_")
+        _SEG_CACHE[key] = build_segment(
+            _pages(spark, sf_dir), d, n_shards=8, shards_per_batch=8,
+            resume=False, dedupe=False,
+        )
+    return _SEG_CACHE[key]
 
 
 def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
@@ -320,6 +338,118 @@ def q_doc_fingerprint(spark, sf_dir):
     return TA.doc_fingerprint(_pages(spark, sf_dir))
 
 
+def q_bm25_packed_topk(spark, sf_dir):
+    from search_suite_spark.operators.wand import wand_scored
+
+    out = wand_scored(_segment(spark, sf_dir), "the fast", max_results=10)
+    return out.select(
+        "url",
+        F.round("score", 6).alias("score"),
+        F.col("term_count").cast("long").alias("term_count"),
+    )
+
+
+def q_spelling_levenshtein(spark, sf_dir):
+    from search_suite_spark.operators.spelling import spelling_suggestions
+
+    idx = _index(spark, sf_dir)
+    return spelling_suggestions(idx.terms, "spark merg", max_dist=1).select(
+        "word", F.col("dist").cast("int").alias("dist"), "suggestion"
+    )
+
+
+_HTML_TMPL = (
+    '<html><head><title>Doc %s</title><meta name="lang" content="%s">'
+    '<meta content="%s" name="source"></head><body>%s</body></html>'
+)
+
+
+def q_html_metadata(spark, sf_dir):
+    from search_suite_spark.functions.html_meta import page_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.format_string(
+            _HTML_TMPL, F.col("doc_id").cast("string"), "lang", "source", "text"
+        ).alias("html_text"),
+    )
+    meta = page_metadata(pages)
+    return meta.select(
+        "url",
+        "title",
+        F.col("meta")["lang"].alias("meta_lang"),
+        F.col("meta")["source"].alias("meta_source"),
+    )
+
+
+def _media_meta(spark, sf_dir):
+    from search_suite_spark.operators.multimodal import (
+        decode_media_meta,
+        synthesize_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url")
+    )
+    return decode_media_meta(synthesize_media(docs))
+
+
+def q_media_meta(spark, sf_dir):
+    return _media_meta(spark, sf_dir).select(
+        "url", "kind", "width", "height", "n_frames", "sample_rate",
+        "n_samples", "n_bytes",
+    )
+
+
+def q_media_resize_plan(spark, sf_dir):
+    from search_suite_spark.operators.multimodal import resize_plan
+
+    return resize_plan(_media_meta(spark, sf_dir), max_side=256)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from search_suite_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_media_meta(spark, sf_dir), every_n=500).select(
+        "url", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+def q_windowed_event_counts(spark, sf_dir):
+    from search_suite_spark.streaming.ingest import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(events)
+
+
+def q_collection_scatter_gather(spark, sf_dir):
+    """Multi-segment scatter/gather (Q12) — no SQL oracle (segment-local
+    BM25 stats are an engine artifact, not expressible relationally in a
+    reasonable way); the pytest suite enforces identity with the merged
+    single-segment build instead."""
+    import tempfile
+
+    from search_suite_spark.sources.registry import (
+        index_into_collection,
+        load_collection,
+        query_collection,
+    )
+
+    col = tempfile.mkdtemp(prefix="entry_col_")
+    p = _pages(spark, sf_dir)
+    index_into_collection(
+        spark, p.filter(F.xxhash64("url") % 2 == 0), col, n_shards=4, compact=False
+    )
+    index_into_collection(
+        spark, p.filter(F.xxhash64("url") % 2 != 0), col, n_shards=4, compact=False
+    )
+    segs = load_collection(spark, col)
+    return query_collection(segs, "spark merge", max_results=10).select(
+        "url", F.round("score", 6).alias("score")
+    )
+
+
 SPARK_QUERIES = {
     "tokenize_tf": q_tokenize_tf,
     "doc_table": q_doc_table,
@@ -346,6 +476,14 @@ SPARK_QUERIES = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
+    "bm25_packed_topk": q_bm25_packed_topk,
+    "spelling_levenshtein": q_spelling_levenshtein,
+    "html_metadata": q_html_metadata,
+    "media_meta": q_media_meta,
+    "media_resize_plan": q_media_resize_plan,
+    "media_frame_sample": q_media_frame_sample,
+    "windowed_event_counts": q_windowed_event_counts,
+    "collection_scatter_gather": q_collection_scatter_gather,
 }
 
 
@@ -554,6 +692,90 @@ WITH pages AS (
 )
 SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(url) AS first_key
 FROM pages GROUP BY md5(text)
+""".strip(),
+    "bm25_packed_topk": bm25_sql(["the", "fast"], limit=10),
+    "spelling_levenshtein": f"""
+WITH {DOC_CTE},
+words(word) AS (VALUES ('spark'), ('merg'))
+SELECT word, CAST(levenshtein(term, word) AS INT) AS dist, term AS suggestion
+FROM dict, words
+WHERE abs(length(term) - length(word)) <= 1 AND levenshtein(term, word) <= 1
+""".strip(),
+    "html_metadata": """
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><meta name="lang" content="' || lang
+         || '"><meta content="' || source
+         || '" name="source"></head><body>' || text || '</body></html>' AS h
+  FROM documents
+)
+SELECT url,
+       trim(regexp_extract(h, '<title[^>]*>(.*?)</title>', 1)) AS title,
+       regexp_extract(h, '<meta name="lang" content="([^"]*)"', 1) AS meta_lang,
+       regexp_extract(h, '<meta content="([^"]*)" name="source"', 1) AS meta_source
+FROM pages
+""".strip(),
+    "media_meta": """
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url FROM documents
+),
+h AS (
+  SELECT url, CAST(CAST('0x' || substr(md5(url), 1, 8) AS UBIGINT) AS BIGINT) AS hv
+  FROM pages
+)
+SELECT url,
+  CASE hv % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(CASE hv % 3 WHEN 0 THEN (hv % 1920) + 1 WHEN 2 THEN (hv % 1280) + 1 END AS INT) AS width,
+  CAST(CASE hv % 3 WHEN 0 THEN (hv % 1080) + 1 WHEN 2 THEN (hv % 720) + 1 END AS INT) AS height,
+  CAST(CASE hv % 3 WHEN 2 THEN (hv % 9000) + 1 END AS INT) AS n_frames,
+  CAST(CASE hv % 3 WHEN 1 THEN 16000 + (hv % 32000) END AS INT) AS sample_rate,
+  CAST(CASE hv % 3 WHEN 1 THEN (hv % 99999999) + 1 END AS INT) AS n_samples,
+  CAST(CASE hv % 3 WHEN 0 THEN 46 ELSE 51 END AS BIGINT) AS n_bytes
+FROM h
+""".strip(),
+    "media_resize_plan": """
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url FROM documents
+),
+h AS (
+  SELECT url, CAST(CAST('0x' || substr(md5(url), 1, 8) AS UBIGINT) AS BIGINT) AS hv
+  FROM pages
+),
+m AS (
+  SELECT url,
+    CASE hv % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    CASE hv % 3 WHEN 0 THEN (hv % 1920) + 1 WHEN 2 THEN (hv % 1280) + 1 END AS width,
+    CASE hv % 3 WHEN 0 THEN (hv % 1080) + 1 WHEN 2 THEN (hv % 720) + 1 END AS height
+  FROM h
+),
+s AS (
+  SELECT url, kind, width, height,
+         least(256.0 / greatest(width, height), 1.0) AS eff
+  FROM m WHERE kind IN ('image', 'video')
+)
+SELECT url, kind, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(greatest(round(width * eff), 1) AS INT) AS out_w,
+       CAST(greatest(round(height * eff), 1) AS INT) AS out_h
+FROM s
+""".strip(),
+    "media_frame_sample": """
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url FROM documents
+),
+h AS (
+  SELECT url, CAST(CAST('0x' || substr(md5(url), 1, 8) AS UBIGINT) AS BIGINT) AS hv
+  FROM pages
+),
+v AS (SELECT url, (hv % 9000) + 1 AS n_frames FROM h WHERE hv % 3 = 2)
+SELECT url, CAST(unnest(range(0, n_frames, 500)) AS BIGINT) AS frame_idx FROM v
+""".strip(),
+    "windowed_event_counts": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
 """.strip(),
     "dedup_jaccard": _jaccard_sql(40, 0.9),
     "dedup_minhash": _minhash_sql(60, 4),

@@ -89,6 +89,82 @@ class InvertedIndex:
         return self.postings.join(F.broadcast(self.deletes), "doc_id", "left_anti")
 
 
+FLAT_TOKENS_SCHEMA = "doc_id long, term string, tf int, doc_len int"
+DOC_ROWS_SCHEMA = "doc_id long, url string, doc_len int"
+
+
+def _doc_counts(url, text):
+    counts: dict[str, int] = {}
+    for tok in normalise(url if isinstance(url, str) else ""):
+        counts[tok] = counts.get(tok, 0) + 1
+    for tok in normalise(text if isinstance(text, str) else ""):
+        counts[tok] = counts.get(tok, 0) + 1
+    return counts
+
+
+def flat_postings(pages: DataFrame) -> DataFrame:
+    """pages → flat posting rows (doc_id, term, tf, doc_len) in ONE
+    streaming mapInPandas pass — no nested array<struct> column, no
+    explode, no persist. At scale the build is memory-bandwidth-bound,
+    not CPU-bound: materializing per-doc token arrays (then exploding
+    them) doubles the bytes moved, so the tokenizer emits the exploded
+    relational form directly.
+
+    doc_id = xxhash64(url) is computed JVM-side *before* the UDF so the
+    Python side never hashes; the UDF sees (doc_id, url, text).
+    """
+    from collections.abc import Iterator
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, terms, tfs, dls = [], [], [], []
+            for doc_id, url, text in zip(pdf["doc_id"], pdf["url"], pdf["text"]):
+                counts = _doc_counts(url, text)
+                dl = sum(counts.values())
+                for t, c in counts.items():
+                    ids.append(doc_id)
+                    terms.append(t)
+                    tfs.append(c)
+                    dls.append(dl)
+            yield pd.DataFrame(
+                {"doc_id": ids, "term": terms, "tf": tfs, "doc_len": dls}
+            )
+
+    return pages.select(
+        F.xxhash64("url").alias("doc_id"), "url", "text"
+    ).mapInPandas(go, FLAT_TOKENS_SCHEMA)
+
+
+def doc_rows(pages: DataFrame) -> DataFrame:
+    """pages → (doc_id, url, doc_len[, warc_ts]) in one streaming pass.
+
+    Re-tokenizes rather than reusing flat_postings' output: tokenize CPU
+    is trivial next to the cost of persisting an intermediate, so two
+    cheap passes beat one pass + a big cache (measured on local[32]).
+    warc_ts, when present, is carried through the batch (no join).
+    """
+    from collections.abc import Iterator
+
+    has_ts = "warc_ts" in pages.columns
+    schema = DOC_ROWS_SCHEMA + (", warc_ts timestamp" if has_ts else "")
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dls = [
+                sum(_doc_counts(u, t).values())
+                for u, t in zip(pdf["url"], pdf["text"])
+            ]
+            out = {"doc_id": pdf["doc_id"], "url": pdf["url"], "doc_len": dls}
+            if has_ts:
+                out["warc_ts"] = pdf["warc_ts"]
+            yield pd.DataFrame(out)
+
+    cols = [F.xxhash64("url").alias("doc_id"), "url", "text"]
+    if has_ts:
+        cols.append("warc_ts")
+    return pages.select(*cols).mapInPandas(go, schema)
+
+
 def tokenized(pages: DataFrame) -> DataFrame:
     """pages → (doc_id, url, warc_ts, doc_len, term_freqs[])."""
     tf_udf = term_freqs_udf()

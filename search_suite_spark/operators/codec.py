@@ -34,20 +34,17 @@ K1 = 1.2
 B = 0.75
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized vByte encode of a non-negative uint64 array."""
+def varbyte_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
+    """Vectorized vByte encode of a non-negative uint64 array.
+
+    ``nbytes`` (from `_varbyte_lengths`) skips recomputing per-value byte
+    counts when the caller already derived them for offset bookkeeping —
+    the encode is in the build's hottest loop."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 7
-        tmp = tmp >> np.uint64(7)
-    nbytes = np.maximum(nbits // 7, 1).astype(np.int64)
+    if nbytes is None:
+        nbytes = _varbyte_lengths(v)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
@@ -151,9 +148,9 @@ def pack_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> 
 
     return {
         "n": n,
-        "ids": varbyte_encode(deltas),
-        "tfs": varbyte_encode(t),
-        "dls": varbyte_encode(d),
+        "ids": varbyte_encode(deltas, id_lens),
+        "tfs": varbyte_encode(t, tf_lens),
+        "dls": varbyte_encode(d, dl_lens),
         "ids_offs": ids_offs[:-1],
         "tfs_offs": tfs_offs[:-1],
         "dls_offs": dls_offs[:-1],

@@ -124,15 +124,34 @@ def minhash_signatures(
 
 
 def minhash_candidates(
-    df: DataFrame, key: str = "url", text: str = "text", n: int = 3, bands: int = 4
+    df: DataFrame,
+    key: str = "url",
+    text: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any (band, sig) bucket → (a, b).
 
     The scale path for near-dup: shuffle is keyed on (band, sig) buckets,
-    never all-pairs. Skewed mega-buckets (boilerplate shingles) are the
-    known hazard; AQE skew-join splits them at runtime.
+    never all-pairs. Skewed mega-buckets (boilerplate / degenerate-vocab
+    corpora) are the known hazard: a bucket of m docs emits m² pairs, so
+    one boilerplate bucket at web scale is a job-killer. ``max_bucket``
+    drops buckets larger than the cap before the self-join (the standard
+    mitigation — a bucket that big is boilerplate, not near-duplication;
+    AQE skew-join only rebalances the pain, the cap removes it).
     """
     sig = minhash_signatures(df, key, text, n, bands)
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        sig = (
+            sig.withColumn(
+                "_bn", F.count("*").over(W.partitionBy("band", "sig"))
+            )
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = sig.select(F.col(key).alias("a"), "band", "sig")
     b = sig.select(F.col(key).alias("b"), "band", "sig")
     return (

@@ -46,6 +46,7 @@ from search_suite_spark.sources.segments import (
     pack_and_write,
     read_segment,
     shard_of_doc_id,
+    write_terms_table,
 )
 
 FLAT_SCHEMA = "term string, doc_id long, tf long, doc_len long"
@@ -119,4 +120,5 @@ def merge_segments(
     )
 
     pack_and_write(spark, flat, docs, dest_dir, n_tbuckets)
+    write_terms_table(spark, dest_dir)
     return read_segment(spark, dest_dir)

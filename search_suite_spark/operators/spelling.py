@@ -1,0 +1,71 @@
+"""Spelling suggestion over the term dictionary (SURVEY §2.5 Q14).
+
+The reference builds a BK-tree over all dictionary terms per segment
+(/root/reference/indexer-qp2/src/bk_tree.rs:106-190, built at
+spelling_correction.rs:39-69) and answers per-word range queries at edit
+distance <= max_dist (default 1, searchapi3/src/SpellingProcessor.hs:69),
+merging per-segment results as Map term (Map dist (Set suggestions))
+(QueryProcessorTypes.hs:133-138).
+
+A BK-tree is a single-node pruning structure with no DataFrame analogue;
+the Spark-first equivalent is a scan of the (small) term dictionary with
+`levenshtein() <= d`. The BK-tree's triangle-inequality prune is replaced
+by the cheap length-difference prune |len(term) - len(word)| <= d, which
+is a codegen'd Column predicate the scan applies before computing the
+O(len^2) edit distance — at a 100M-term dictionary that removes most of
+the work, and the dictionary scan is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_suite_spark.functions.normalise import normalise
+
+
+def spelling_suggestions(
+    terms: DataFrame, query: str, max_dist: int = 1, term_col: str = "term"
+) -> DataFrame:
+    """(word, dist, suggestion) for every query word, dist <= max_dist.
+
+    `terms` is any frame with a term dictionary column (an InvertedIndex
+    .terms or a Segment .terms). Exact hits (dist 0) are included, like
+    the reference's BK-tree range search from distance 0.
+    """
+    spark = terms.sparkSession
+    words = sorted(set(normalise(query)))
+    if not words:
+        return spark.createDataFrame([], "word string, dist int, suggestion string")
+
+    words_df = F.broadcast(
+        spark.createDataFrame([(w,) for w in words], "word string")
+    )
+    return (
+        terms.select(F.col(term_col).alias("suggestion"))
+        .join(
+            words_df,
+            # length-difference prune first (cheap, codegen), then the
+            # exact edit distance — mirrors the BK-tree's metric prune
+            (
+                F.abs(F.length("suggestion") - F.length("word")) <= max_dist
+            )
+            & (F.levenshtein("suggestion", "word") <= max_dist),
+        )
+        .select(
+            "word",
+            F.levenshtein("suggestion", "word").alias("dist"),
+            "suggestion",
+        )
+    )
+
+
+def suggestion_map(rows) -> dict[str, dict[int, set[str]]]:
+    """Collect suggestion rows into the reference's response shape
+    Map word (Map dist (Set suggestions)) (QueryProcessorTypes.hs:124-126)."""
+    out: dict[str, dict[int, set[str]]] = {}
+    for r in rows:
+        out.setdefault(r["word"], {}).setdefault(int(r["dist"]), set()).add(
+            r["suggestion"]
+        )
+    return out

@@ -149,9 +149,8 @@ def wand_scored(seg: Segment, query: str, max_results: int | None = None) -> Dat
     multiplicity = Counter(q_terms)
     rows = seg.postings.filter(F.col("term").isin(list(multiplicity)))
 
-    # global df per term (sum of shard-local posting counts) — tiny agg
-    df_rows = rows.groupBy("term").agg(F.sum("n").alias("df")).collect()
-    dfs = {r["term"]: int(r["df"]) for r in df_rows}
+    # global df per term from the dictionary table (Q1 term lookup)
+    dfs = seg.term_dfs(list(multiplicity))
     if len(dfs) < len(multiplicity):
         return empty  # fast abort: a query term is missing (query.rs:34-40)
 

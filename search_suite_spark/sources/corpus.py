@@ -70,11 +70,15 @@ def pages_from_documents(
     degenerate copies.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf parquet is a single file → 1 input partition; repartition the
+    # *small* base BEFORE the replication crossJoin so the expansion (and
+    # every downstream stage) is parallel — repartitioning after the join
+    # would funnel the full expanded corpus through one map task first
     base = docs.select(
         F.col("doc_id").cast("long").alias("src_id"),
         F.col("text"),
         F.col("lang"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     if replication > 1:
         reps = spark.range(replication).withColumnRenamed("id", "rep")
         base = base.crossJoin(reps).withColumn(

@@ -45,7 +45,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_suite_spark.operators.build import dedupe_newest_wins, tokenized
+from search_suite_spark.operators.build import (
+    dedupe_newest_wins,
+    doc_rows,
+    flat_postings,
+)
 from search_suite_spark.operators.codec import pack_posting_list
 
 PACKED_SCHEMA = (
@@ -115,10 +119,26 @@ class Segment:
     num_docs: int
     total_doc_len: int
     deletes: DataFrame | None
+    terms: DataFrame | None = None  # (term, df) dictionary table
 
     @property
     def avgdl(self) -> int:
         return self.total_doc_len // self.num_docs  # ranking.rs:50 parity
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global doc_freq per term (Q1 dictionary lookup). Reads the
+        small terms table when present; falls back to a 2-column
+        (term, n) scan of the packed postings."""
+        if self.terms is not None:
+            src = self.terms.filter(F.col("term").isin(terms))
+            return {r["term"]: int(r["df"]) for r in src.collect()}
+        rows = (
+            self.postings.filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
 
 
 def shard_of_doc_id(n_shards: int):
@@ -148,63 +168,97 @@ def pack_and_write(
     lineage_path = os.path.join(seg_dir, "lineage")
     t0 = time.monotonic()
 
+    # persist the packed frame: it is the *compressed* index (orders of
+    # magnitude smaller than the flat postings), and three consumers read
+    # it — the postings write, the lineage metrics, and (via the cache)
+    # nothing recomputes the expensive pack shuffle
     packed = (
         flat.withColumn(
             "tbucket", F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)).cast("int")
         )
         .groupBy("shard", "tbucket")
         .applyInPandas(_pack_bucket, PACKED_SCHEMA)
+        .persist()
     )
-    (
-        packed.repartition("shard")
-        .sortWithinPartitions("term")
-        .write.mode(mode)
-        .partitionBy("shard")
-        .parquet(postings_path)
-    )
-    (
-        docs.repartition("shard")
-        .sortWithinPartitions("doc_id")
-        .write.mode(mode)
-        .partitionBy("shard")
-        .parquet(docs_path)
-    )
+    try:
+        # repartition by shard before the write: cheap on packed data, and
+        # it yields one file per shard — query latency is dominated by file
+        # listing/footers when each (task, shard) pair leaves a fragment.
+        # The within-file term sort feeds Parquet row-group min/max stats
+        # so query-time term filters prune at the scan.
+        (
+            packed.repartition("shard")
+            .sortWithinPartitions("term")
+            .write.mode(mode)
+            .partitionBy("shard")
+            .parquet(postings_path)
+        )
+        (
+            docs.repartition("shard")
+            .sortWithinPartitions("doc_id")
+            .write.mode(mode)
+            .partitionBy("shard")
+            .parquet(docs_path)
+        )
 
-    ms = int((time.monotonic() - t0) * 1000)
-    post_read = spark.read.parquet(postings_path)
-    docs_read = spark.read.parquet(docs_path)
-    if shards is not None:
-        post_read = post_read.filter(F.col("shard").isin(shards))
-        docs_read = docs_read.filter(F.col("shard").isin(shards))
-    # lineage metrics from the data just written (read-back = truth)
-    lineage = (
-        post_read.groupBy("shard")
-        .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("n").alias("n_postings"),
-            F.sum(F.length("ids") + F.length("tfs") + F.length("dls")).alias(
-                "packed_bytes"
-            ),
+        ms = int((time.monotonic() - t0) * 1000)
+        # lineage metrics: postings stats from the cached packed frame
+        # (the write succeeded ⇒ it IS what landed); doc stats from a
+        # read-back of the just-written (small) docs table — recomputing
+        # the docs frame would re-run its tokenizer pass
+        docs_read = spark.read.parquet(docs_path)
+        if shards is not None:
+            docs_read = docs_read.filter(F.col("shard").isin(shards))
+        lineage = (
+            packed.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("n").alias("n_postings"),
+                F.sum(F.length("ids") + F.length("tfs") + F.length("dls")).alias(
+                    "packed_bytes"
+                ),
+            )
+            .join(
+                docs_read.groupBy("shard").agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("doc_len").alias("total_doc_len"),
+                ),
+                "shard",
+                "right",  # a shard can have docs even if tiny/no postings
+            )
+            .select(
+                "shard",
+                "n_docs",
+                "total_doc_len",
+                F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+                F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
+                F.coalesce("packed_bytes", F.lit(0)).alias("packed_bytes"),
+                F.lit(ms).alias("ms"),
+            )
         )
-        .join(
-            docs_read.groupBy("shard").agg(
-                F.count("*").alias("n_docs"),
-                F.sum("doc_len").alias("total_doc_len"),
-            ),
-            "shard",
-            "right",  # a shard can have docs even if tiny/no postings
-        )
-        .select(
-            "shard",
-            "n_docs",
-            "total_doc_len",
-            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
-            F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
-            F.coalesce("packed_bytes", F.lit(0)).alias("packed_bytes"),
-            F.lit(ms).alias("ms"),
-        )
-    )
-    lineage.write.mode("append").parquet(lineage_path)
+        lineage.write.mode("append").parquet(lineage_path)
+    finally:
+        packed.unpersist()
+
+
+def write_terms_table(spark: SparkSession, seg_dir: str) -> None:
+    """Write the segment-global term dictionary (term, df) — the analogue
+    of the reference's sorted `terms` file (index_writer.rs:31-36). One
+    small parquet per segment: query-time df lookup reads this instead of
+    scanning packed postings, and the spelling scan (Q14) runs over it."""
+    postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
+    terms = postings.groupBy("term").agg(F.sum("n").alias("df"))
+    tmp = os.path.join(seg_dir, "_terms_tmp")
+    # parallel write, term-sorted within files (row-group pruning); no
+    # coalesce(1) — a single-task dictionary write is a serial tail at
+    # scale (vocabularies reach 10^8 terms on web corpora)
+    terms.sortWithinPartitions("term").write.mode("overwrite").parquet(tmp)
+    final = os.path.join(seg_dir, "terms")
+    if os.path.isdir(final):
+        import shutil
+
+        shutil.rmtree(final)
+    os.rename(tmp, final)
 
 
 def completed_shards(spark: SparkSession, seg_dir: str) -> set[int]:
@@ -248,29 +302,22 @@ def build_segment(
 
     for i in range(0, len(todo), shards_per_batch):
         batch = todo[i : i + shards_per_batch]
-        bpages = sharded.filter(F.col("shard").isin(batch))
-        toks = tokenized(bpages.drop("shard")).withColumn(
-            "shard", shard_of_doc_id(n_shards)
-        )
-
-        docs_cols = ["doc_id", "url", "doc_len", "shard"]
-        if "warc_ts" in toks.columns:
-            docs_cols.append("warc_ts")
-        docs_b = toks.select(*docs_cols)
-
-        flat = toks.select(
-            "shard", "doc_id", "doc_len", F.explode("term_freqs").alias("p")
-        ).select(
-            F.col("p.term").alias("term"),
-            "shard",
-            "doc_id",
-            F.col("p.tf").alias("tf"),
-            "doc_len",
-        )
-        # salted two-phase shape: the shuffle key (shard, tbucket) bounds
-        # both group size (postings/shard/n_tbuckets — stop-word skew) and
-        # group count (Python-side applyInPandas overhead)
+        bpages = sharded.filter(F.col("shard").isin(batch)).drop("shard")
+        # two independent streaming passes (flat postings + doc rows),
+        # both straight from pages — tokenize CPU is trivial next to the
+        # memory-bandwidth cost of persisting a tokenized intermediate,
+        # so no cache, no nested arrays, no explode (measured on
+        # local[32]: the persist variant was bandwidth-bound and did not
+        # scale past ~8 cores)
+        flat = flat_postings(bpages).withColumn("shard", shard_of_doc_id(n_shards))
+        docs_b = doc_rows(bpages).withColumn("shard", shard_of_doc_id(n_shards))
+        # salted two-phase shape: the shuffle key (shard, tbucket)
+        # bounds both group size (postings/shard/n_tbuckets — stop-word
+        # skew) and group count (applyInPandas per-group overhead)
         pack_and_write(spark, flat, docs_b, seg_dir, n_tbuckets, shards=batch)
+
+    if todo:
+        write_terms_table(spark, seg_dir)
 
     return read_segment(spark, seg_dir)
 
@@ -289,6 +336,8 @@ def read_segment(spark: SparkSession, seg_dir: str) -> Segment:
             deletes = spark.read.parquet(deletes_path)
         except Exception:
             deletes = None
+    terms_path = os.path.join(seg_dir, "terms")
+    terms = spark.read.parquet(terms_path) if os.path.isdir(terms_path) else None
     return Segment(
         path=seg_dir,
         postings=postings,
@@ -296,6 +345,7 @@ def read_segment(spark: SparkSession, seg_dir: str) -> Segment:
         num_docs=int(stats["nd"]),
         total_doc_len=int(stats["tdl"]),
         deletes=deletes,
+        terms=terms,
     )
 
 

@@ -1,0 +1,156 @@
+"""WARC file source/sink (SURVEY §2.1 S5/S7/S8).
+
+The reference ingests WARC files in batches of 128 response records
+(/root/reference/searchapi3/src/Extensions/WarcIndexer.hs:39-87, reader
+WarcFileReader.hs:78-135) and stores each segment's pages as a WARC file
+with zlib-compressed bodies plus a u64 offset array for binary search
+(WarcFileWriter.hs:44-73, compression WebArchive/src/Data/Warc/Body.hs:
+29-38).
+
+Spark-first: `spark.read.format("binaryFile")` lists the WARC files and
+a `mapInPandas` parses records per file — one task per file (WARC is a
+concatenation format; at web scale you get parallelism across the
+millions of files, matching how Common Crawl is actually laid out).
+Records with `WARC-Type: response` become pages rows; uri and body are
+strict-UTF-8 decoded and rows that fail are dropped, mirroring the
+reference's strict decode + reject (WarcIndexer.hs:79-86). The document
+store itself is the pages table — no offset files needed (the reference's
+binary-searched `file.offs` is replaced by Parquet/Iceberg predicate
+pushdown on url).
+
+Record grammar handled: WARC/1.0 header block (CRLF lines, blank-line
+terminator), Content-Length payload, CRLF CRLF record separator; bodies
+optionally zlib-deflated per the reference's writer.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CRLF = b"\r\n"
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Parse one WARC file's bytes into records:
+    {headers: dict[str,str], body: bytes}."""
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos : pos + 2] == CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find(CRLF + CRLF, pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        head = data[pos:hdr_end].split(CRLF)
+        version = head[0].decode("utf-8", "replace").strip()
+        if not version.startswith("WARC/"):
+            break
+        for line in head[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.decode("utf-8", "replace").strip().lower()] = v.decode(
+                "utf-8", "replace"
+            ).strip()
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        body = data[body_start : body_start + clen]
+        records.append({"headers": headers, "body": body})
+        pos = body_start + clen
+    return records
+
+
+def record_to_page(rec: dict) -> tuple[str, str | None, str] | None:
+    """WARC record → (url, warc_date, text) or None if not an
+    indexable response / not strict UTF-8 (WarcIndexer.hs:79-86)."""
+    h = rec["headers"]
+    if h.get("warc-type") != "response":
+        return None
+    url = h.get("warc-target-uri")
+    if not url:
+        return None
+    body = rec["body"]
+    if h.get("content-encoding", "").lower() in ("zlib", "deflate"):
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            return None
+    else:
+        # the reference writer always zlib-compresses bodies
+        # (Body.hs:29-33); sniff and fall through to raw on failure
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            pass
+    try:
+        text = body.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return None
+    return url, h.get("warc-date"), text
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files under `path` → pages rows
+    (url, warc_ts, html binary, text, lang=null)."""
+    raw = spark.read.format("binaryFile").load(path)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in parse_warc_bytes(bytes(content)):
+                    page = record_to_page(rec)
+                    if page is not None:
+                        url, date, text = page
+                        rows.append(
+                            {
+                                "url": url,
+                                "warc_date": date,
+                                "html": zlib.compress(text.encode("utf-8")),
+                                "text": text,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_date", "html", "text"]
+            )
+
+    pages = raw.select("content").mapInPandas(
+        go, "url string, warc_date string, html binary, text string"
+    )
+    return pages.select(
+        "url",
+        F.to_timestamp("warc_date").alias("warc_ts"),
+        "html",
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def write_warc(path: str, pages: list[tuple[str, str, str]]) -> None:
+    """Write (url, warc_date, text) tuples as one WARC file with
+    zlib-compressed bodies (the reference writer's shape,
+    WarcFileWriter.hs:64-73). Driver-side helper for tests/fixtures —
+    the engine's real sink is the pages table."""
+    with open(path, "wb") as f:
+        for url, date, text in pages:
+            body = zlib.compress(text.encode("utf-8"))
+            headers = (
+                b"WARC/1.0\r\n"
+                + b"WARC-Type: response\r\n"
+                + f"WARC-Target-URI: {url}\r\n".encode()
+                + f"WARC-Date: {date}\r\n".encode()
+                + b"Content-Encoding: zlib\r\n"
+                + f"Content-Length: {len(body)}\r\n".encode()
+            )
+            f.write(headers + CRLF + body + CRLF + CRLF)
