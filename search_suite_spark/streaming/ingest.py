@@ -82,11 +82,17 @@ def windowed_event_counts(
 
     On a stream: late rows beyond the watermark are dropped and window
     state is evicted — bounded state at any scale. The same expression
-    works on a batch frame (watermark is a no-op there), which is how the
-    DuckDB oracle checks it.
+    runs on a batch frame (Spark 4 rejects withWatermark outside
+    streaming, so it is attached only when `isStreaming`), which is how
+    the DuckDB oracle checks it.
     """
+    # watermarks require TIMESTAMP (tz-aware); parquet written with NTZ
+    # types must be cast (session tz is pinned UTC, so values are stable)
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
     return (
-        events.withWatermark(ts_col, watermark)
+        events
         .groupBy(
             F.window(F.col(ts_col), window).alias("w"),
             F.col("event_type"),
