@@ -423,6 +423,27 @@ def q_windowed_event_counts(spark, sf_dir):
     return windowed_event_counts(events)
 
 
+def q_cached_page(spark, sf_dir):
+    from search_suite_spark.operators.query import cached_page
+
+    return cached_page(_pages(spark, sf_dir), "doc://7")
+
+
+def q_doc_status(spark, sf_dir):
+    from search_suite_spark.operators.query import doc_status_table
+
+    idx = _index(spark, sf_dir)
+    # delete doc://3, then probe a present, a deleted, and a missing url
+    from search_suite_spark.operators.build import InvertedIndex
+
+    deletes = idx.docs.filter(F.col("url") == "doc://3").select("doc_id")
+    idx2 = InvertedIndex(
+        postings=idx.postings, docs=idx.docs, terms=idx.terms,
+        num_docs=idx.num_docs, total_doc_len=idx.total_doc_len, deletes=deletes,
+    )
+    return doc_status_table(idx2, ["doc://1", "doc://3", "doc://nope"])
+
+
 def q_collection_scatter_gather(spark, sf_dir):
     """Multi-segment scatter/gather (Q12) — no SQL oracle (segment-local
     BM25 stats are an engine artifact, not expressible relationally in a
@@ -483,6 +504,8 @@ SPARK_QUERIES = {
     "media_resize_plan": q_media_resize_plan,
     "media_frame_sample": q_media_frame_sample,
     "windowed_event_counts": q_windowed_event_counts,
+    "cached_page": q_cached_page,
+    "doc_status": q_doc_status,
     "collection_scatter_gather": q_collection_scatter_gather,
 }
 
@@ -776,6 +799,19 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""".strip(),
+    "cached_page": """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text
+FROM documents WHERE doc_id = 7
+""".strip(),
+    "doc_status": """
+WITH want(url) AS (VALUES ('doc://1'), ('doc://3'), ('doc://nope')),
+docs AS (SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url FROM documents)
+SELECT want.url,
+       CASE WHEN docs.url IS NULL THEN 'MISSING'
+            WHEN want.url = 'doc://3' THEN 'DELETED'
+            ELSE 'PRESENT' END AS status
+FROM want LEFT JOIN docs ON want.url = docs.url
 """.strip(),
     "dedup_jaccard": _jaccard_sql(40, 0.9),
     "dedup_minhash": _minhash_sql(60, 4),

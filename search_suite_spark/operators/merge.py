@@ -46,7 +46,6 @@ from search_suite_spark.sources.segments import (
     pack_and_write,
     read_segment,
     shard_of_doc_id,
-    write_terms_table,
 )
 
 FLAT_SCHEMA = "term string, doc_id long, tf long, doc_len long"
@@ -119,6 +118,7 @@ def merge_segments(
         .withColumn("shard", shard_of_doc_id(n_shards))
     )
 
-    pack_and_write(spark, flat, docs, dest_dir, n_tbuckets)
-    write_terms_table(spark, dest_dir)
+    # write_terms=True: the merge covers the whole segment in one pass,
+    # so the dictionary comes from the persisted packed frame directly
+    pack_and_write(spark, flat, docs, dest_dir, n_tbuckets, write_terms=True)
     return read_segment(spark, dest_dir)

@@ -155,6 +155,39 @@ def unscored(index: InvertedIndex, query: str, mode: str | None = None) -> DataF
     return ids.distinct().join(index.docs.select("doc_id", "url"), "doc_id")
 
 
+def cached_page(pages: DataFrame, url: str) -> DataFrame:
+    """Cached-page fetch (Q15, Controllers/Query.hs:85-98): the pages
+    table IS the document store — a url-filtered scan replaces the
+    reference's binary search over file.offs/file.warc."""
+    return pages.filter(F.col("url") == url).select("url", "text")
+
+
+def doc_status_table(index: InvertedIndex, urls: list[str]) -> DataFrame:
+    """Batch MISSING/PRESENT/DELETED status (Q16) as a DataFrame —
+    the set-oriented form of doc_status below (Indexer.hs:160-194
+    aggregates statuses across segments as a count map)."""
+    spark = index.docs.sparkSession
+    want = spark.createDataFrame([(u,) for u in urls], "url string")
+    docs = index.docs.select("url", "doc_id")
+    if index.deletes is not None:
+        docs = docs.join(
+            index.deletes.select("doc_id").distinct().withColumn(
+                "_del", F.lit(True)
+            ),
+            "doc_id",
+            "left",
+        )
+    else:
+        docs = docs.withColumn("_del", F.lit(None).cast("boolean"))
+    return want.join(docs, "url", "left").select(
+        "url",
+        F.when(F.col("doc_id").isNull(), "MISSING")
+        .when(F.col("_del"), "DELETED")
+        .otherwise("PRESENT")
+        .alias("status"),
+    )
+
+
 def doc_status(index: InvertedIndex, url: str) -> str:
     """MISSING / PRESENT / DELETED for a url (Q16,
     index_reader.rs:47-74 + deletions.rs:25-45)."""

@@ -156,6 +156,7 @@ def pack_and_write(
     n_tbuckets: int = 64,
     shards: list[int] | None = None,
     mode: str = "overwrite",
+    write_terms: bool = False,
 ) -> None:
     """Pack flat postings (term, shard, doc_id, tf, doc_len) + docs rows
     into segment tables under seg_dir and append per-shard lineage.
@@ -181,25 +182,41 @@ def pack_and_write(
         .persist()
     )
     try:
-        # repartition by shard before the write: cheap on packed data, and
-        # it yields one file per shard — query latency is dominated by file
-        # listing/footers when each (task, shard) pair leaves a fragment.
-        # The within-file term sort feeds Parquet row-group min/max stats
-        # so query-time term filters prune at the scan.
-        (
-            packed.repartition("shard")
-            .sortWithinPartitions("term")
-            .write.mode(mode)
-            .partitionBy("shard")
-            .parquet(postings_path)
-        )
-        (
-            docs.repartition("shard")
-            .sortWithinPartitions("doc_id")
-            .write.mode(mode)
-            .partitionBy("shard")
-            .parquet(docs_path)
-        )
+        # the two table writes are independent jobs — run them on two
+        # driver threads so the Spark scheduler overlaps them (each job's
+        # fixed submit/commit latency is a serial tail otherwise; this is
+        # the single biggest lever on small-batch build latency).
+        #
+        # postings: repartition by shard before the write — cheap on
+        # packed data, and it yields one file per shard (query latency is
+        # dominated by file listing/footers when each (task, shard) pair
+        # leaves a fragment). The within-file term sort feeds Parquet
+        # row-group min/max stats so query-time term filters prune at the
+        # scan.
+        import concurrent.futures as cf
+
+        def _write_postings():
+            (
+                packed.repartition("shard")
+                .sortWithinPartitions("term")
+                .write.mode(mode)
+                .partitionBy("shard")
+                .parquet(postings_path)
+            )
+
+        def _write_docs():
+            (
+                docs.repartition("shard")
+                .sortWithinPartitions("doc_id")
+                .write.mode(mode)
+                .partitionBy("shard")
+                .parquet(docs_path)
+            )
+
+        with cf.ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(_write_postings), ex.submit(_write_docs)]
+            for f in futs:
+                f.result()
 
         ms = int((time.monotonic() - t0) * 1000)
         # lineage metrics: postings stats from the cached packed frame
@@ -237,16 +254,28 @@ def pack_and_write(
             )
         )
         lineage.write.mode("append").parquet(lineage_path)
+        if write_terms:
+            # caller guarantees this call covers the whole segment — the
+            # dictionary comes straight from the still-persisted packed
+            # frame, saving the end-of-build postings read-back
+            write_terms_table(spark, seg_dir, postings=packed)
     finally:
         packed.unpersist()
 
 
-def write_terms_table(spark: SparkSession, seg_dir: str) -> None:
+def write_terms_table(
+    spark: SparkSession, seg_dir: str, postings: DataFrame | None = None
+) -> None:
     """Write the segment-global term dictionary (term, df) — the analogue
     of the reference's sorted `terms` file (index_writer.rs:31-36). One
     small parquet per segment: query-time df lookup reads this instead of
-    scanning packed postings, and the spelling scan (Q14) runs over it."""
-    postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
+    scanning packed postings, and the spelling scan (Q14) runs over it.
+
+    ``postings`` short-circuits the read-back when the caller still holds
+    the (persisted) packed frame — single-batch builds save a scan job.
+    """
+    if postings is None:
+        postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
     terms = postings.groupBy("term").agg(F.sum("n").alias("df"))
     tmp = os.path.join(seg_dir, "_terms_tmp")
     # parallel write, term-sorted within files (row-group pruning); no
@@ -314,9 +343,13 @@ def build_segment(
         # salted two-phase shape: the shuffle key (shard, tbucket)
         # bounds both group size (postings/shard/n_tbuckets — stop-word
         # skew) and group count (applyInPandas per-group overhead)
-        pack_and_write(spark, flat, docs_b, seg_dir, n_tbuckets, shards=batch)
+        one_shot = not done and len(batch) == len(todo)
+        pack_and_write(
+            spark, flat, docs_b, seg_dir, n_tbuckets, shards=batch,
+            write_terms=one_shot,
+        )
 
-    if todo:
+    if todo and not (not done and len(todo) <= shards_per_batch):
         write_terms_table(spark, seg_dir)
 
     return read_segment(spark, seg_dir)
