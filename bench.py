@@ -92,13 +92,30 @@ def main() -> None:
         timed("bm25_rare_and_packed", lambda: wand_scored(
             seg, "window shuffle sort", max_results=10).collect())
 
-        # flat (relational) path on the same corpus, for comparison
+        # flat (relational) path on the same corpus, for comparison.
+        # build_flat times the cache materialization (tokenize + postings
+        # agg) separately so the flat query timings measure the QUERY, not
+        # the lazy first-touch build.
         idx = build_index(pages, dedupe=True)
+        timed("build_flat", lambda: (idx.postings.count(), idx.terms.count()))
         timed("bm25_topk_flat", lambda: bm25_scored(
             idx, "merge join", max_results=10).collect())
         timed("unscored_and", lambda: unscored(idx, "merge join sort").count())
         timed("structured_and_or", lambda: structured_query(
             idx, "/\\ spark\n/\\ \\/ merge\n   \\/ join").count())
+
+        # packed-path query latency distribution (BASELINE.md protocol
+        # step 4): repeated query set, p50/p95 over per-query wall times
+        lat_queries = ["merge join", "spark", "window shuffle sort",
+                       "the fast", "partition", "executor memory"]
+        lats = []
+        for q in lat_queries * 3:
+            t0 = time.monotonic()
+            wand_scored(seg, q, max_results=10).collect()
+            lats.append(time.monotonic() - t0)
+        lats.sort()
+        extras["query_p50_sec"] = round(lats[len(lats) // 2], 3)
+        extras["query_p95_sec"] = round(lats[int(len(lats) * 0.95)], 3)
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),

@@ -112,8 +112,15 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INDEX_CACHE: dict[tuple[int, str], InvertedIndex] = {}
-_SEG_CACHE: dict[tuple[int, str], object] = {}
+_INDEX_CACHE: dict[tuple[str, str], InvertedIndex] = {}
+_SEG_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    # applicationId is unique per live SparkContext — id(spark) is not
+    # (CPython reuses addresses after GC, so a new session could read a
+    # dead session's cached DataFrames)
+    return (spark.sparkContext.applicationId, sf_dir)
 
 
 def _segment(spark: SparkSession, sf_dir: str):
@@ -123,7 +130,7 @@ def _segment(spark: SparkSession, sf_dir: str):
 
     from search_suite_spark.sources.segments import build_segment
 
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     if key not in _SEG_CACHE:
         d = tempfile.mkdtemp(prefix="entry_seg_")
         _SEG_CACHE[key] = build_segment(
@@ -137,7 +144,7 @@ def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     """Build (once per session+sf_dir) the flat index; the driver calls
     ~25 queries() entries in one process — rebuilding the index per query
     would re-run the tokenizer 25x."""
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     if key not in _INDEX_CACHE:
         idx = build_index(_pages(spark, sf_dir), dedupe=False)
         # materialize the cached frames once so later queries reuse them
@@ -444,6 +451,90 @@ def q_doc_status(spark, sf_dir):
     return doc_status_table(idx2, ["doc://1", "doc://3", "doc://nope"])
 
 
+def q_merge_then_query(spark, sf_dir):
+    """M1-M9 oracle check: build two disjoint half-corpus segments, merge
+    them (unpack → union → repack shuffle), query the merged segment —
+    the DuckDB twin is plain BM25 over the FULL corpus, because
+    merge-equals-direct-build is exactly the reference's merge contract
+    (indexer-qp2/test/system_tests.rs:155-198)."""
+    import tempfile
+
+    from search_suite_spark.operators.merge import merge_segments
+    from search_suite_spark.operators.wand import wand_scored
+    from search_suite_spark.sources.segments import build_segment, read_segment
+
+    p = _pages(spark, sf_dir)
+    d_a = tempfile.mkdtemp(prefix="entry_mrg_a_")
+    d_b = tempfile.mkdtemp(prefix="entry_mrg_b_")
+    d_m = tempfile.mkdtemp(prefix="entry_mrg_m_")
+    seg_a = build_segment(
+        p.filter(F.xxhash64("url") % 2 == 0), d_a, n_shards=4,
+        shards_per_batch=4, resume=False, dedupe=False,
+    )
+    seg_b = build_segment(
+        p.filter(F.xxhash64("url") % 2 != 0), d_b, n_shards=4,
+        shards_per_batch=4, resume=False, dedupe=False,
+    )
+    merge_segments(spark, seg_a, seg_b, d_m, n_shards=4)
+    merged = read_segment(spark, d_m)
+    out = wand_scored(merged, "merge join", max_results=10)
+    return out.select(
+        "url",
+        F.round("score", 6).alias("score"),
+        F.col("term_count").cast("long").alias("term_count"),
+    )
+
+
+def q_query_with_metadata(spark, sf_dir):
+    """Q13: BM25 results joined with scraped page metadata at query time
+    (QueryProcessor.hs:93-99)."""
+    from search_suite_spark.functions.html_meta import attach_metadata, page_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html_pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.format_string(
+            _HTML_TMPL, F.col("doc_id").cast("string"), "lang", "source", "text"
+        ).alias("html_text"),
+    )
+    meta = page_metadata(html_pages)
+    results = _bm25(spark, sf_dir, "spark")
+    return attach_metadata(results, meta).select(
+        "url", "score", "title", F.col("meta")["source"].alias("meta_source")
+    )
+
+
+def q_bm25_partial_match(spark, sf_dir):
+    """Scored partial-match (min_should_match=2 of 3 terms) — the
+    reference's own TODO at query.rs:192-193."""
+    from search_suite_spark.operators.query import bm25_partial
+
+    out = bm25_partial(_index(spark, sf_dir), "spark merge window",
+                       min_should_match=2)
+    return out.select("url", F.round("score", 6).alias("score"), "n_matched")
+
+
+def q_dedup_lsh_jaccard(spark, sf_dir):
+    """Composed scale path: MinHash/LSH proposes candidate pairs, exact
+    n-gram Jaccard verifies only those pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    p = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    cands = D.minhash_candidates(p, n=1, bands=4)
+    return D.jaccard_pairs(p, n=1, threshold=0.5, candidates=cands)
+
+
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.lsh_ann_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_planes=8, multiprobe=1
+    ).select(F.col("vec_id").cast("long").alias("vec_id"), "cos")
+
+
 def q_collection_scatter_gather(spark, sf_dir):
     """Multi-segment scatter/gather (Q12) — no SQL oracle (segment-local
     BM25 stats are an engine artifact, not expressible relationally in a
@@ -507,6 +598,11 @@ SPARK_QUERIES = {
     "cached_page": q_cached_page,
     "doc_status": q_doc_status,
     "collection_scatter_gather": q_collection_scatter_gather,
+    "merge_then_query": q_merge_then_query,
+    "query_with_metadata": q_query_with_metadata,
+    "bm25_partial_match": q_bm25_partial_match,
+    "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
 }
 
 
@@ -592,14 +688,22 @@ FROM p ORDER BY cos DESC, vec_id LIMIT 10
 """.strip()
 
 
-def _lsh_topk_sql() -> str:
+def _lsh_topk_sql(max_hamming: int = 0, n_planes: int = 8) -> str:
     import search_suite_spark.operators.similarity as sim
 
-    dim, n_planes = 64, 8
+    dim = 64
     planes = [sim.hyperplane(p, dim) for p in range(n_planes)]
     plane_rows = ", ".join(
         f"({p}, [{', '.join(str(x) for x in vec)}]::DOUBLE[])" for p, vec in enumerate(planes)
     )
+    if max_hamming == 0:
+        cand_pred = "b.bucket = qb.bucket"
+    else:
+        cand_pred = (
+            f"len(list_filter(range(1, {n_planes + 1}), "
+            "i -> substr(b.bucket, CAST(i AS INT), 1) <> "
+            f"substr(qb.bucket, CAST(i AS INT), 1))) <= {max_hamming}"
+        )
     return f"""
 WITH planes(p, vec) AS (VALUES {plane_rows}),
 sig AS (
@@ -611,7 +715,7 @@ sig AS (
 buck AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sig GROUP BY vec_id),
 q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
-cands AS (SELECT b.vec_id FROM buck b, qb WHERE b.bucket = qb.bucket),
+cands AS (SELECT b.vec_id FROM buck b, qb WHERE {cand_pred}),
 p2 AS (
   SELECT e.vec_id,
          sum(e.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE) AS dot,
@@ -818,6 +922,69 @@ FROM want LEFT JOIN docs ON want.url = docs.url
     "dedup_simhash16": _simhash16_sql(100),
     "ann_cosine_topk": _cosine_topk_sql(),
     "ann_lsh_topk": _lsh_topk_sql(),
+    "ann_lsh_multiprobe": _lsh_topk_sql(max_hamming=1),
+    "merge_then_query": bm25_sql(["merge", "join"], limit=10),
+    "query_with_metadata": f"""
+WITH meta AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         source AS meta_source
+  FROM documents
+)
+SELECT r.url, r.score, m.title, m.meta_source
+FROM ({bm25_sql(["spark"])}) r
+LEFT JOIN meta m ON r.url = m.url
+""".strip(),
+    "bm25_partial_match": f"""
+WITH {DOC_CTE},
+scored AS (
+  SELECT t.url,
+         sum( ln((stats.num_docs - dict.df + 0.5) / (dict.df + 0.5))
+              * (t.tf * 2.2)
+              / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.doc_len::DOUBLE / stats.avgdl::DOUBLE)))
+            ) AS exact_score,
+         CAST(count(*) AS BIGINT) AS n_matched
+  FROM tf t
+  JOIN dict USING (term)
+  JOIN dl USING (url)
+  CROSS JOIN stats
+  WHERE t.term IN ('spark', 'merge', 'window')
+  GROUP BY t.url
+  HAVING count(*) >= 2
+)
+SELECT url, round(exact_score, 6) AS score, n_matched FROM scored
+""".strip(),
+    "dedup_lsh_jaccard": f"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents WHERE doc_id < 60
+),
+sh AS (
+  SELECT DISTINCT url, unnest({tok_sql('text')}) AS shingle FROM pages
+),
+sig AS (
+  SELECT url, b.band, min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS sig
+  FROM sh, (SELECT unnest(range(4)) AS band) b
+  GROUP BY url, b.band
+),
+cand AS (
+  SELECT DISTINCT x.url AS a, y.url AS b
+  FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
+  WHERE x.url < y.url
+),
+sz AS (SELECT url, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY url),
+inter AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS ni
+  FROM cand c
+  JOIN sh x ON x.url = c.a
+  JOIN sh y ON y.url = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b, round(ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.url = a
+JOIN sz sb ON sb.url = b
+WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.5
+""".strip(),
     "emb_neardup": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 80),
 p AS (

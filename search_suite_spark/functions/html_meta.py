@@ -65,3 +65,20 @@ def page_metadata(pages: DataFrame, html_col: str = "html_text") -> DataFrame:
     return pages.select(
         "url", udf(F.col("url"), F.col(html_col)).alias("m")
     ).select("url", F.col("m.title").alias("title"), F.col("m.meta").alias("meta"))
+
+
+def attach_metadata(results: DataFrame, meta: DataFrame) -> DataFrame:
+    """Q13: join query results with their page metadata on url
+    (QueryProcessor.hs:93-99 — the reference zips each result with its
+    metadata map and drops the redundant 'uri' key).
+
+    LEFT join: a result whose page has no scraped metadata still comes
+    back (title/meta null), matching the reference's mempty fallback.
+    The join is k-row-sided (results are already top-k), so Catalyst
+    plans the tiny side broadcast under AQE."""
+    m = meta.select(
+        "url",
+        "title",
+        F.map_filter(F.col("meta"), lambda k, _: k != F.lit("uri")).alias("meta"),
+    )
+    return results.join(m, "url", "left")

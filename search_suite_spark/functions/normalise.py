@@ -137,3 +137,72 @@ def tokenize_udf():
         return tokenize_series(texts)
 
     return _tokenize
+
+
+# ---------------------------------------------------------------------------
+# JVM-side (Catalyst) tokenizer — the index-build hot path
+# ---------------------------------------------------------------------------
+#
+# Same semantics as normalise() above, expressed entirely in Spark SQL
+# built-ins (regexp + higher-order array functions) so the build's tokenize
+# stage runs inside whole-stage codegen with NO Python workers.  Why this
+# matters for the north_rule scaling gate: a mapInPandas tokenizer occupies
+# both an executor task thread (Arrow encode/decode) and a Python worker
+# process per task — at N cores the job really consumes ~2N cores of host
+# capacity, so going N → 4N cores on a fixed-size host can never show 4x.
+# A codegen'd tokenizer uses exactly one core per task and scales with the
+# task count.
+#
+# Category parity (vs the Python/Rust classes above):
+#   alpha run  = \p{L}+  (Java L family == {Lu,Ll,Lt,Lm,Lo})
+#   num run    = \p{N}+  (Java N family == {Nd,Nl,No})
+#   camelCase boundary = (?<=\p{javaLowerCase})(?=\p{javaUpperCase}) —
+#     java.lang.Character.isLowerCase/isUpperCase match Python's
+#     str.islower()/isupper() single-char behaviour (Unicode
+#     Lowercase/Uppercase properties).
+# Parity is enforced by tests/test_normalise.py::test_sql_tokenizer_parity
+# over the golden reference cases, the test corpus, and hypothesis-random
+# unicode strings.
+
+_SQL_RUNS_PATTERN = r"[\p{L}]+|[\p{N}]+"
+_SQL_BOUNDARY = r"(?<=\p{javaLowerCase})(?=\p{javaUpperCase})"
+_NUL = " "
+
+
+def tokens_column(*cols):
+    """Column expr: tokenize one or more string columns (url then body,
+    doc.rs:65-93 order — order only matters for readers; tf counting is
+    order-free) into one array<string> of terms, fully JVM-side.
+
+    The inputs are joined with a single space (class Other ⇒ a run never
+    spans the boundary), so tokens(concat) == tokens(a) ++ tokens(b).
+    """
+    from pyspark.sql import functions as F
+
+    s = cols[0] if len(cols) == 1 else F.concat_ws(" ", *cols)
+    runs = F.regexp_extract_all(s, F.lit(_SQL_RUNS_PATTERN), F.lit(0))
+    split_runs = F.transform(
+        runs,
+        lambda r: F.struct(
+            r.alias("w"),
+            F.split(F.regexp_replace(r, _SQL_BOUNDARY, _NUL), _NUL).alias("g"),
+        ),
+    )
+    # normalise.rs:35-42 quirk: when an alpha run splits, the whole run
+    # (lowercased) is emitted at position 1: [g0, whole, g1, g2, ...].
+    # Numeric runs never contain a case boundary, so they take the
+    # size==1 branch where lower() is an identity on digits.
+    return F.flatten(
+        F.transform(
+            split_runs,
+            lambda t: F.when(
+                F.size(t["g"]) > 1,
+                F.concat(
+                    F.array(F.lower(F.element_at(t["g"], 1)), F.lower(t["w"])),
+                    F.transform(
+                        F.slice(t["g"], 2, F.size(t["g"]) - 1), F.lower
+                    ),
+                ),
+            ).otherwise(F.array(F.lower(t["w"]))),
+        )
+    )

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from search_suite_spark.functions.normalise import normalise
+from search_suite_spark.functions.normalise import normalise, tokens_column
 
 TOKEN_STRUCT = "array<struct<term:string,tf:int>>"
 
@@ -165,6 +165,41 @@ def doc_rows(pages: DataFrame) -> DataFrame:
     return pages.select(*cols).mapInPandas(go, schema)
 
 
+def token_rows(pages: DataFrame) -> DataFrame:
+    """pages → exploded token instances (doc_id, doc_len, term) — the
+    JVM-only tokenize used by the packed build (segments.build_segment).
+
+    Runs entirely inside whole-stage codegen: xxhash64 + the Catalyst
+    tokenizer (functions.normalise.tokens_column) + size + explode. No
+    Python workers ⇒ one host core per task ⇒ linear core scaling (the
+    north_rule gate). tf is NOT pre-counted here: the pack kernel counts
+    it after the one shuffle, which deletes an entire groupBy exchange
+    from the build (token instances per (doc,term) land in the same
+    (shard, tbucket) group by construction).
+    """
+    return pages.select(
+        F.xxhash64("url").alias("doc_id"),
+        tokens_column(F.col("url"), F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("doc_len"),
+        F.explode("toks").alias("term"),
+    )
+
+
+def doc_rows_fast(pages: DataFrame) -> DataFrame:
+    """pages → (doc_id, url, doc_len[, warc_ts]) via the JVM tokenizer —
+    same output as doc_rows() but codegen'd end-to-end."""
+    cols = [
+        F.xxhash64("url").alias("doc_id"),
+        F.col("url"),
+        F.size(tokens_column(F.col("url"), F.col("text"))).alias("doc_len"),
+    ]
+    if "warc_ts" in pages.columns:
+        cols.append(F.col("warc_ts"))
+    return pages.select(*cols)
+
+
 def tokenized(pages: DataFrame) -> DataFrame:
     """pages → (doc_id, url, warc_ts, doc_len, term_freqs[])."""
     tf_udf = term_freqs_udf()
@@ -194,16 +229,33 @@ def dedupe_newest_wins(pages: DataFrame) -> DataFrame:
 
 
 def build_index(pages: DataFrame, dedupe: bool = True) -> InvertedIndex:
-    """Full build (B1-B8). Returns cached DataFrames + computed stats."""
+    """Full build (B1-B8). Returns cached DataFrames + computed stats.
+
+    Tokenization is the Catalyst expression (tokens_column) — all of
+    tokenize/doc_len/tf-count runs JVM-side; tf counting is a partial
+    (map-side combined) hash aggregation, so the shuffle carries ~one row
+    per distinct (doc, term), not one per token instance.
+    """
+    spark = pages.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < target:
+        # small-input guard (see segments.build_segment): a 1-file corpus
+        # otherwise tokenizes on 1 task
+        pages = pages.repartition(target)
+
     if dedupe and "warc_ts" in pages.columns:
         pages = dedupe_newest_wins(pages)
 
-    toks = tokenized(pages)
+    cols = [
+        F.xxhash64("url").alias("doc_id"),
+        F.col("url"),
+        tokens_column(F.col("url"), F.col("text")).alias("toks"),
+    ]
+    if "warc_ts" in pages.columns:
+        cols.insert(2, F.col("warc_ts"))
+    toks = pages.select(*cols).withColumn("doc_len", F.size("toks"))
 
-    docs_cols = ["doc_id", "url", "doc_len"]
-    if "warc_ts" in toks.columns:
-        docs_cols.append("warc_ts")
-    docs = toks.select(*docs_cols).cache()
+    docs = toks.drop("toks").cache()
 
     # empty-input guard (B6, index.rs:54-71)
     stats_row = docs.agg(
@@ -214,17 +266,10 @@ def build_index(pages: DataFrame, dedupe: bool = True) -> InvertedIndex:
         raise ValueError("refusing to build an index from 0 docs (index.rs:54-71)")
 
     postings = (
-        toks.select(
-            "doc_id",
-            "doc_len",
-            F.explode("term_freqs").alias("p"),
-        )
-        .select(
-            F.col("p.term").alias("term"),
-            "doc_id",
-            F.col("p.tf").alias("tf"),
-            "doc_len",
-        )
+        toks.select("doc_id", "doc_len", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("term", "doc_id", "tf", "doc_len")
         .cache()
     )
 

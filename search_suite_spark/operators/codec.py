@@ -110,16 +110,26 @@ def _block_slices(n: int) -> list[tuple[int, int]]:
     return [(s, min(s + BLOCK, n)) for s in range(0, n, BLOCK)]
 
 
-def pack_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
+def pack_posting_list(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, presorted: bool = False
+) -> dict:
     """Posting list → packed block-aligned columns (sorted by doc_id).
 
     doc_ids are treated as uint64 (callers map signed xxhash64 ids via
     two's-complement reinterpretation, preserving an unsigned sort order).
+    ``presorted`` skips the sort when the caller already delivers ids in
+    uint64 order (the build's JVM shuffle sorts with the sign-bit-flip
+    trick, so Python never re-sorts).
     """
-    order = np.argsort(np.asarray(doc_ids, dtype=np.uint64), kind="stable")
-    ids = np.asarray(doc_ids, dtype=np.uint64)[order]
-    t = np.asarray(tfs, dtype=np.uint64)[order]
-    d = np.asarray(dls, dtype=np.uint64)[order]
+    if presorted:
+        ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+        t = np.ascontiguousarray(tfs, dtype=np.uint64)
+        d = np.ascontiguousarray(dls, dtype=np.uint64)
+    else:
+        order = np.argsort(np.asarray(doc_ids, dtype=np.uint64), kind="stable")
+        ids = np.asarray(doc_ids, dtype=np.uint64)[order]
+        t = np.asarray(tfs, dtype=np.uint64)[order]
+        d = np.asarray(dls, dtype=np.uint64)[order]
     n = int(ids.size)
 
     # block-restarted deltas: first id of each block absolute
@@ -138,13 +148,21 @@ def pack_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> 
     tfs_offs = [0]
     dls_offs = [0]
     block_last, block_max_tf, block_min_dl = [], [], []
+    block_min_tf, block_max_dl = [], []
     for s, e in slices:
         ids_offs.append(ids_offs[-1] + int(id_lens[s:e].sum()))
         tfs_offs.append(tfs_offs[-1] + int(tf_lens[s:e].sum()))
         dls_offs.append(dls_offs[-1] + int(dl_lens[s:e].sum()))
         block_last.append(int(ids[e - 1]))
+        # BOTH extrema pairs per block: impact(max_tf, min_dl) upper-bounds
+        # the block's impact, impact(min_tf, max_dl) lower-bounds it — the
+        # scoring skip needs the max of idf·impact, and idf may be NEGATIVE
+        # (ranking.rs:43-49 allows df > N/2), which flips which extremum
+        # bounds the contribution from above.
         block_max_tf.append(int(t[s:e].max()))
         block_min_dl.append(int(d[s:e].min()))
+        block_min_tf.append(int(t[s:e].min()))
+        block_max_dl.append(int(d[s:e].max()))
 
     return {
         "n": n,
@@ -157,7 +175,18 @@ def pack_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> 
         "block_last": block_last,
         "block_max_tf": block_max_tf,
         "block_min_dl": block_min_dl,
+        "block_min_tf": block_min_tf,
+        "block_max_dl": block_max_dl,
     }
+
+
+def unpack_ids(row) -> np.ndarray:
+    """ids-only full decode of a packed row → uint64 doc_ids.
+
+    The conjunctive intersection never needs tf/dl until the scoring
+    phase, so skipping their decode here roughly halves the bytes touched
+    per driving (rarest) term."""
+    return _blockwise_cumsum(varbyte_decode(bytes(row["ids"])))
 
 
 def unpack_posting_list(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -183,21 +212,25 @@ def _blockwise_cumsum(deltas: np.ndarray) -> np.ndarray:
 
 
 def unpack_blocks(
-    row, block_indices: np.ndarray
+    row, block_indices: np.ndarray, cols: tuple = ("ids", "tfs", "dls")
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Selective decode: only the given block indices.
+    """Selective decode: only the given block indices, only the given
+    columns (omitted columns come back as empty arrays).
 
     Returns (doc_ids, tfs, dls, posting_positions) for postings in those
     blocks; posting_positions are absolute posting indices (for callers
     that need them). This is the skip-read used by the conjunctive
     block-max intersection — at a 10^12-doc scale, decoding only the
-    blocks that can contain candidates is the difference between reading
-    MBs and GBs per query term.
+    blocks (and columns) that can matter is the difference between
+    reading MBs and GBs per query term: the intersection needs ids only;
+    the scoring phase needs tf/dl only for candidates above the top-k
+    score threshold.
     """
     n = int(row["n"])
-    ids_buf = bytes(row["ids"])
-    tfs_buf = bytes(row["tfs"])
-    dls_buf = bytes(row["dls"])
+    want_ids, want_tfs, want_dls = "ids" in cols, "tfs" in cols, "dls" in cols
+    ids_buf = bytes(row["ids"]) if want_ids else b""
+    tfs_buf = bytes(row["tfs"]) if want_tfs else b""
+    dls_buf = bytes(row["dls"]) if want_dls else b""
     ids_offs = list(row["ids_offs"]) + [len(ids_buf)]
     tfs_offs = list(row["tfs_offs"]) + [len(tfs_buf)]
     dls_offs = list(row["dls_offs"]) + [len(dls_buf)]
@@ -207,17 +240,20 @@ def unpack_blocks(
         bi = int(bi)
         s = bi * BLOCK
         e = min(s + BLOCK, n)
-        deltas = varbyte_decode(ids_buf[ids_offs[bi] : ids_offs[bi + 1]])
-        out_ids.append(np.cumsum(deltas, dtype=np.uint64))
-        out_tfs.append(varbyte_decode(tfs_buf[tfs_offs[bi] : tfs_offs[bi + 1]]))
-        out_dls.append(varbyte_decode(dls_buf[dls_offs[bi] : dls_offs[bi + 1]]))
+        if want_ids:
+            deltas = varbyte_decode(ids_buf[ids_offs[bi] : ids_offs[bi + 1]])
+            out_ids.append(np.cumsum(deltas, dtype=np.uint64))
+        if want_tfs:
+            out_tfs.append(varbyte_decode(tfs_buf[tfs_offs[bi] : tfs_offs[bi + 1]]))
+        if want_dls:
+            out_dls.append(varbyte_decode(dls_buf[dls_offs[bi] : dls_offs[bi + 1]]))
         out_pos.append(np.arange(s, e, dtype=np.int64))
-    if not out_ids:
-        z = np.empty(0, dtype=np.uint64)
+    z = np.empty(0, dtype=np.uint64)
+    if not out_pos:
         return z, z.copy(), z.copy(), np.empty(0, dtype=np.int64)
     return (
-        np.concatenate(out_ids),
-        np.concatenate(out_tfs),
-        np.concatenate(out_dls),
+        np.concatenate(out_ids) if out_ids else z,
+        np.concatenate(out_tfs) if out_tfs else z.copy(),
+        np.concatenate(out_dls) if out_dls else z.copy(),
         np.concatenate(out_pos),
     )

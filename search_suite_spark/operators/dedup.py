@@ -70,13 +70,25 @@ def jaccard_pairs(
     text: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard ≥ threshold → (a, b, jaccard).
+    """n-gram Jaccard ≥ threshold → (a, b, jaccard).
 
-    Small-corpus verification path; at scale feed candidates from
-    `minhash_candidates` instead of the full self-join.
+    With ``candidates`` (an (a, b) frame, e.g. from `minhash_candidates`)
+    the exact Jaccard is computed ONLY for those pairs — the scale path:
+    LSH proposes, this verifies, and the shingle join is semi-joined down
+    to candidate members before any pairing. Without it, the full
+    all-pairs self-join runs — small verification corpora only.
     """
-    sh = shingles(df, key, text, n).cache()
+    sh = shingles(df, key, text, n)
+    if candidates is not None:
+        members = (
+            candidates.select(F.col("a").alias(key))
+            .unionByName(candidates.select(F.col("b").alias(key)))
+            .distinct()
+        )
+        sh = sh.join(members, key, "left_semi")
+    sh = sh.cache()
     sizes = sh.groupBy(key).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(key).alias("a"), "shingle")
     b = sh.select(F.col(key).alias("b"), "shingle")
@@ -86,6 +98,8 @@ def jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
+    if candidates is not None:
+        inter = inter.join(candidates.select("a", "b").distinct(), ["a", "b"], "left_semi")
     out = (
         inter.join(sizes.select(F.col(key).alias("a"), F.col("n_sh").alias("na")), "a")
         .join(sizes.select(F.col(key).alias("b"), F.col("n_sh").alias("nb")), "b")

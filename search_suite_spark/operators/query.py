@@ -75,10 +75,13 @@ def bm25_scored(
         list(multiplicity.items()), "term string, mult int"
     )
 
+    # broadcast only the ≤ n query terms' dictionary rows, never the whole
+    # dictionary — a web-scale vocabulary (10^8 terms) would OOM the driver
+    q_dict = index.terms.filter(F.col("term").isin(list(multiplicity.keys())))
     matched = (
         index.live_postings()
         .filter(F.col("term").isin(list(multiplicity.keys())))
-        .join(F.broadcast(index.terms), "term")
+        .join(F.broadcast(q_dict), "term")
         .join(F.broadcast(mult_df), "term")
     )
 
@@ -105,54 +108,122 @@ def bm25_scored(
     return out
 
 
-def unscored(index: InvertedIndex, query: str, mode: str | None = None) -> DataFrame:
-    """Unscored doc-id retrieval (query.rs:29-61) → (doc_id, url).
+def bm25_partial(
+    index: InvertedIndex,
+    query: str,
+    min_should_match: int = 1,
+    max_results: int | None = None,
+) -> DataFrame:
+    """Scored partial-match query → (url, score, n_matched), score desc.
 
-    mode None  = conjunctive intersection, rarest-term-first (Q8)
-    mode regex = union over regex-matched dictionary terms (Q9)
+    The reference's own marked TODO (query.rs:192-193: "be able to score
+    here while still streaming, so as to decide whether to include
+    low-term-matched docs") — a doc qualifies when at least
+    ``min_should_match`` DISTINCT query terms match; the score still sums
+    every matched instance (duplicated query terms score twice, as in
+    the AND path). min_should_match = #distinct terms degenerates to the
+    conjunctive mode; = 1 is pure disjunctive top-k.
+
+    Same single-scan plan as bm25_scored: isin-pruned postings scan →
+    per-doc aggregation → TakeOrderedAndProject.
     """
+    q_terms = parse_query_terms(query)
     spark = index.postings.sparkSession
-    empty = spark.createDataFrame([], "doc_id long, url string")
+    if not q_terms:
+        return spark.createDataFrame([], "url string, score double, n_matched long")
+
+    multiplicity = Counter(q_terms)
+    mult_df = spark.createDataFrame(
+        list(multiplicity.items()), "term string, mult int"
+    )
+    q_dict = index.terms.filter(F.col("term").isin(list(multiplicity.keys())))
+    matched = (
+        index.live_postings()
+        .filter(F.col("term").isin(list(multiplicity.keys())))
+        .join(F.broadcast(q_dict), "term")
+        .join(F.broadcast(mult_df), "term")
+    )
+    per_doc = (
+        matched.withColumn("_s", score_expr(index.num_docs, index.avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("_s") * F.col("mult")).alias("score"),
+            # one posting row per (doc, term) ⇒ count(*) = distinct terms
+            F.count("*").alias("n_matched"),
+        )
+        .filter(F.col("n_matched") >= F.lit(min_should_match))
+    )
+    if max_results is not None:
+        per_doc = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
+            max_results
+        )
+    return (
+        per_doc.join(index.docs.select("doc_id", "url"), "doc_id")
+        .select("url", "score", F.col("n_matched").cast("long").alias("n_matched"))
+        .orderBy(F.col("score").desc(), F.col("url"))
+    )
+
+
+def unscored_ids(
+    index: InvertedIndex, query: str, mode: str | None = None
+) -> DataFrame:
+    """Unscored retrieval → distinct (doc_id) frame — the set-algebra
+    building block shared by unscored() and the structured-query fold
+    (keeping urls out of the intermediate sets keeps every intersection /
+    union shuffle to 8 bytes per row)."""
+    spark = index.postings.sparkSession
 
     if mode == "regex":
-        matched_terms = [
-            r["term"]
-            for pat in (query.split() or [query])
-            for r in index.terms.filter(F.col("term").rlike(pat)).collect()
-        ]
-        if not matched_terms:
-            return empty
-        ids = (
+        # the WHOLE raw query string is ONE regex (input.rs:107-108:
+        # `Some(Mode::Regex) => vec!(Term(input))`) — no whitespace split.
+        # Term matching stays distributed: the regex-filtered dictionary
+        # is semi-joined against the postings (never collected — a broad
+        # pattern over a web-scale dictionary matches millions of terms).
+        # No broadcast hint: AQE broadcasts the matched side when it turns
+        # out small at runtime and falls back to a shuffled semi-join when
+        # the pattern matches a huge slice of the dictionary.
+        matched = index.terms.filter(F.col("term").rlike(query)).select("term")
+        return (
             index.live_postings()
-            .filter(F.col("term").isin(matched_terms))
+            .join(matched, "term", "left_semi")
             .select("doc_id")
             .distinct()
         )
-        return ids.join(index.docs.select("doc_id", "url"), "doc_id")
 
     q_terms = parse_query_terms(query)
     if not q_terms:
-        return empty
+        return spark.createDataFrame([], "doc_id long")
 
     # fast abort if any query term is missing from the dictionary
     # (query.rs:34-40)
-    found = {
-        r["term"]: r["df"]
-        for r in index.terms.filter(F.col("term").isin(q_terms)).collect()
-    }
-    if len(found) < len(set(q_terms)):
-        return empty
+    distinct_terms = sorted(set(q_terms))
+    n_found = index.terms.filter(F.col("term").isin(distinct_terms)).count()
+    if n_found < len(distinct_terms):
+        return spark.createDataFrame([], "doc_id long")
 
-    # rarest-term-first chain of semi-joins (query.rs:97-113); with exact
-    # df available we order explicitly rather than rely on join reordering
-    ordered = sorted(set(q_terms), key=lambda t: found[t])
-    live = index.live_postings()
-    ids = live.filter(F.col("term") == ordered[0]).select("doc_id")
-    for t in ordered[1:]:
-        ids = ids.join(
-            live.filter(F.col("term") == t).select("doc_id"), "doc_id", "left_semi"
-        )
-    return ids.distinct().join(index.docs.select("doc_id", "url"), "doc_id")
+    # single-scan AND: one isin-pruned pass over the postings, then a
+    # distinct-term count per doc — the same plan shape as bm25_scored.
+    # (The previous rarest-first chain of per-term semi-joins re-shuffled
+    # the postings once per query term; query.rs:97-113's rarest-first
+    # ordering is an artifact of its single-node k-merge, not a win here.)
+    return (
+        index.live_postings()
+        .filter(F.col("term").isin(distinct_terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(distinct_terms))
+        .select("doc_id")
+    )
+
+
+def unscored(index: InvertedIndex, query: str, mode: str | None = None) -> DataFrame:
+    """Unscored doc-id retrieval (query.rs:29-61) → (doc_id, url).
+
+    mode None  = conjunctive intersection (Q8)
+    mode regex = union over regex-matched dictionary terms (Q9)
+    """
+    ids = unscored_ids(index, query, mode)
+    return ids.join(index.docs.select("doc_id", "url"), "doc_id")
 
 
 def cached_page(pages: DataFrame, url: str) -> DataFrame:

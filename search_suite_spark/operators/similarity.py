@@ -86,19 +86,33 @@ def lsh_ann_topk(
     n_planes: int = 8,
     key: str = "vec_id",
     vec: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """ANN: restrict to the query's LSH bucket, then exact top-k inside it.
+    """ANN: restrict to the query's LSH bucket(s), then exact top-k inside.
 
-    Approximate — recall depends on n_planes; callers wanting higher recall
-    probe neighboring buckets (hamming-1 on the bucket string).
+    Approximate — recall depends on n_planes. ``multiprobe`` > 0 also
+    probes every bucket within hamming distance `multiprobe` of the
+    query's bucket (the standard multi-probe LSH recall lever: a vector
+    one wrong-side-of-one-hyperplane away lands in a hamming-1 bucket).
+    The probe set is tiny and driver-computed (Σ C(n_planes, d) ids), so
+    the scan prune stays a simple isin filter.
     """
+    from itertools import combinations
+
     dim = len(query_vec)
     planes = [hyperplane(p, dim) for p in range(n_planes)]
     qbucket = "".join(
         "1" if sum(q * h for q, h in zip(query_vec, p)) > 0 else "0" for p in planes
     )
+    probes = {qbucket}
+    for d in range(1, multiprobe + 1):
+        for flips in combinations(range(n_planes), d):
+            b = list(qbucket)
+            for i in flips:
+                b[i] = "0" if b[i] == "1" else "1"
+            probes.add("".join(b))
     bucketed = lsh_buckets(emb, n_planes, dim, key, vec)
-    cands = bucketed.filter(F.col("bucket") == qbucket)
+    cands = bucketed.filter(F.col("bucket").isin(sorted(probes)))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cands.select(
         F.col(key),

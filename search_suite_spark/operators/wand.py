@@ -9,12 +9,19 @@ The scale path of the query engine (SURVEY §2.5 Q4-Q7, north_rule):
      all terms' shard-s postings cover the same doc subset, so shards
      are embarrassingly parallel (the reference's per-segment
      scatter/gather, Query/QueryProcessor.hs:61-152).
-  3. Inside a shard (vectorized numpy in applyInPandas): intersect
-     rarest-term-first (query.rs:97-98); for every other term decode
-     ONLY the blocks that can contain surviving candidates
-     (searchsorted against block_last skip pointers — the block-max
-     WAND skip); score survivors with exact BM25; keep a local top-k.
-  4. Global top-k = orderBy().limit(k) over ≤ k·n_shards candidate rows
+  3. Inside a shard (vectorized numpy in applyInPandas):
+       a. intersect rarest-term-first (query.rs:97-98) decoding doc-id
+          blocks ONLY — tf/dl stay packed through the whole intersection
+          (searchsorted against block_last skip pointers picks which id
+          blocks to decode at all);
+       b. block-max scoring skip: each survivor's score upper bound is
+          Σ_t idf_t·impact(block_max_tf, block_min_dl) over the block
+          containing it (codec.py metadata); candidates are scored
+          exactly in upper-bound order, maintaining the running top-k
+          threshold θ, and scoring STOPS when the next upper bound
+          cannot enter the heap — tf/dl blocks of hopeless candidates
+          are never decoded.
+  4. Global top-k = orderBy().limit(k) over ≤ ~k·n_shards candidate rows
      (TakeOrderedAndProject: per-partition heaps + driver merge — the
      bounded-heap merge of Q7/Q12).
 
@@ -33,18 +40,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from search_suite_spark.functions.normalise import normalise
-from search_suite_spark.operators.codec import impact, unpack_blocks, unpack_posting_list
+from search_suite_spark.operators.codec import (
+    BLOCK,
+    impact,
+    impact_bound,
+    unpack_blocks,
+    unpack_ids,
+)
 from search_suite_spark.sources.segments import Segment
 
 RESULT_SCHEMA = "doc_id long, score double, term_count int"
+
+# observability hook for tests: kernels accumulate (tf/dl blocks decoded,
+# tf/dl blocks total) here when run in-process (local mode runs kernels in
+# the driver's Python workers, so tests can read it after .collect())
+DECODE_STATS: dict[str, int] = {"blocks_decoded": 0, "blocks_total": 0}
 
 
 def _idf(n_docs: int, df: float) -> float:
     return float(np.log((n_docs - df + 0.5) / (df + 0.5)))
 
 
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": [], "score": [], "term_count": []}).astype(
+        {"doc_id": "int64", "score": "float64", "term_count": "int32"}
+    )
+
+
+class _BlockCache:
+    """Lazily-decoded (ids, tfs, dls) per block of one posting list."""
+
+    def __init__(self, row):
+        self.row = row
+        self.blocks: dict[int, tuple] = {}
+        self.block_last = np.asarray(row["block_last"], dtype=np.int64).view(
+            np.uint64
+        )
+
+    def block_of(self, ids: np.ndarray) -> np.ndarray:
+        return np.searchsorted(self.block_last, ids, side="left")
+
+    def ensure(self, needed: np.ndarray) -> None:
+        missing = [b for b in np.unique(needed) if int(b) not in self.blocks]
+        if not missing:
+            return
+        DECODE_STATS["blocks_decoded"] += len(missing)
+        ids, tfs, dls, pos = unpack_blocks(self.row, np.asarray(missing))
+        for b in missing:
+            b = int(b)
+            s = np.searchsorted(pos, b * BLOCK)
+            e = np.searchsorted(pos, (b + 1) * BLOCK)
+            self.blocks[b] = (ids[s:e], tfs[s:e], dls[s:e])
+
+    def lookup(self, cand_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """tf/dl for candidate ids KNOWN to be present in this list."""
+        blk = self.block_of(cand_ids)
+        self.ensure(blk)
+        tf = np.empty(cand_ids.size, dtype=np.uint64)
+        dl = np.empty(cand_ids.size, dtype=np.uint64)
+        for b in np.unique(blk):
+            sel = blk == b
+            bids, btf, bdl = self.blocks[int(b)]
+            p = np.searchsorted(bids, cand_ids[sel])
+            tf[sel] = btf[p]
+            dl[sel] = bdl[p]
+        return tf, dl
+
+
 def _shard_kernel(terms_meta, n_docs, avgdl, k, deleted_ids):
-    """Build the per-shard conjunctive scorer closure.
+    """Build the per-shard conjunctive block-max scorer closure.
 
     terms_meta: {term: (global_df, multiplicity)}; deleted_ids: sorted
     uint64 numpy array (broadcast via closure — small; a deletes *table*
@@ -57,80 +121,106 @@ def _shard_kernel(terms_meta, n_docs, avgdl, k, deleted_ids):
         present = set(pdf["term"])
         if present != set(terms_meta):
             # some query term has no postings in this shard → empty AND
-            return pd.DataFrame({"doc_id": [], "score": [], "term_count": []}).astype(
-                {"doc_id": "int64", "score": "float64", "term_count": "int32"}
-            )
+            return _empty_result()
         rows = {r["term"]: r for _, r in pdf.iterrows()}
         # rarest-first by shard-local posting count
         order = sorted(rows, key=lambda t: rows[t]["n"])
+        DECODE_STATS["blocks_total"] += sum(
+            len(rows[t]["block_last"]) for t in order
+        )
 
-        first = rows[order[0]]
-        cand_ids, cand_tfs, cand_dls = unpack_posting_list(first)
-        per_term = {order[0]: (cand_ids, cand_tfs, cand_dls)}
-
+        # ---- phase 1+2: ids-only intersection ------------------------
+        cand_ids = unpack_ids(rows[order[0]])
         for t in order[1:]:
             if cand_ids.size == 0:
-                break
+                return _empty_result()
             row = rows[t]
-            block_last = np.asarray(row["block_last"], dtype=np.int64).view(np.uint64)
-            # blocks that could contain each candidate (block-max skip)
+            block_last = np.asarray(row["block_last"], dtype=np.int64).view(
+                np.uint64
+            )
             blocks = np.searchsorted(block_last, cand_ids, side="left")
-            blocks = blocks[blocks < block_last.size]
-            ids, tfs, dls, _ = unpack_blocks(row, blocks)
+            in_range = blocks < block_last.size
+            cand_ids = cand_ids[in_range]
+            ids, _, _, _ = unpack_blocks(
+                row, np.unique(blocks[in_range]), cols=("ids",)
+            )
             pos = np.searchsorted(ids, cand_ids)
             pos_ok = pos < ids.size
             hit = np.zeros(cand_ids.size, dtype=bool)
             hit[pos_ok] = ids[pos[pos_ok]] == cand_ids[pos_ok]
-            # keep intersection; remember this term's tf/dl for survivors
             cand_ids = cand_ids[hit]
-            cand_tfs = cand_tfs[hit]
-            cand_dls = cand_dls[hit]
-            sel = pos[hit]
-            per_term[t] = (ids[sel], tfs[sel], dls[sel])
-            # shrink earlier terms' arrays
-            for u in per_term:
-                if u != t:
-                    a, b, c = per_term[u]
-                    if a.size != cand_ids.size:
-                        keep = np.searchsorted(a, cand_ids)
-                        per_term[u] = (a[keep], b[keep], c[keep])
 
-        if cand_ids.size == 0:
-            return pd.DataFrame({"doc_id": [], "score": [], "term_count": []}).astype(
-                {"doc_id": "int64", "score": "float64", "term_count": "int32"}
-            )
-
-        if deleted_ids.size:
+        if deleted_ids.size and cand_ids.size:
             dead = np.searchsorted(deleted_ids, cand_ids)
             dead_ok = dead < deleted_ids.size
             is_dead = np.zeros(cand_ids.size, dtype=bool)
             is_dead[dead_ok] = deleted_ids[dead[dead_ok]] == cand_ids[dead_ok]
-            if is_dead.any():
-                alive = ~is_dead
-                cand_ids = cand_ids[alive]
-                per_term = {
-                    t: (a[alive], b[alive], c[alive]) for t, (a, b, c) in per_term.items()
-                }
+            cand_ids = cand_ids[~is_dead]
 
         if cand_ids.size == 0:
-            return pd.DataFrame({"doc_id": [], "score": [], "term_count": []}).astype(
-                {"doc_id": "int64", "score": "float64", "term_count": "int32"}
-            )
+            return _empty_result()
 
-        score = np.zeros(cand_ids.size, dtype=np.float64)
-        for t, (_, tfs, dls) in per_term.items():
+        # ---- phase 3: block-max upper bounds ---------------------------
+        # ub_term = mult · idf · impact(max_tf, min_dl)   when idf ≥ 0
+        #         = mult · idf · impact(min_tf, max_dl)   when idf <  0
+        # (idf may be negative — ranking.rs:43-49 — which flips which
+        # block extremum bounds the contribution from above)
+        caches = {t: _BlockCache(rows[t]) for t in order}
+        ub = np.zeros(cand_ids.size, dtype=np.float64)
+        for t in order:
+            c = caches[t]
+            blk = c.block_of(cand_ids)
             mult = terms_meta[t][1]
-            score += mult * idfs[t] * impact(tfs, dls, avgdl)
+            if idfs[t] >= 0:
+                btf = np.asarray(rows[t]["block_max_tf"], dtype=np.int64)[blk]
+                bdl = np.asarray(rows[t]["block_min_dl"], dtype=np.int64)[blk]
+            else:
+                btf = np.asarray(rows[t]["block_min_tf"], dtype=np.int64)[blk]
+                bdl = np.asarray(rows[t]["block_max_dl"], dtype=np.int64)[blk]
+            ub += mult * idfs[t] * impact_bound(btf, bdl, avgdl)
 
-        if k is not None and cand_ids.size > k:
-            top = np.argpartition(-score, k - 1)[:k]
-            cand_ids, score = cand_ids[top], score[top]
+        # score exactly in upper-bound order, chunked; stop when the next
+        # chunk's best possible score cannot beat the running θ (k-th best
+        # exact score). ub ≥ exact always (impact ↑ in tf, ↓ in dl), so
+        # pruning is lossless; ties with θ are kept (global tie-break on
+        # doc_id happens at the Spark layer).
+        by_ub = np.argsort(-ub, kind="stable")
+        chunk = max(1024, 0 if k is None else 4 * k)
+        kept_ids: list[np.ndarray] = []
+        kept_scores: list[np.ndarray] = []
+        theta = -np.inf
+        n_scored = 0
+        for s in range(0, by_ub.size, chunk):
+            sel = by_ub[s : s + chunk]
+            if k is not None and n_scored >= k and ub[sel[0]] < theta:
+                break  # no remaining candidate can enter the top-k
+            ids_c = cand_ids[sel]
+            score = np.zeros(ids_c.size, dtype=np.float64)
+            for t in order:
+                tf, dl = caches[t].lookup(ids_c)
+                score += terms_meta[t][1] * idfs[t] * impact(tf, dl, avgdl)
+            kept_ids.append(ids_c)
+            kept_scores.append(score)
+            n_scored += ids_c.size
+            if k is not None and n_scored >= k:
+                all_scores = np.concatenate(kept_scores)
+                theta = np.partition(all_scores, all_scores.size - k)[
+                    all_scores.size - k
+                ]
+
+        out_ids = np.concatenate(kept_ids)
+        out_scores = np.concatenate(kept_scores)
+        if k is not None and out_ids.size > k:
+            # keep everything scoring ≥ the k-th best (ties survive for
+            # the global doc_id tie-break), drop the provably-out rest
+            keep = out_scores >= theta
+            out_ids, out_scores = out_ids[keep], out_scores[keep]
 
         return pd.DataFrame(
             {
-                "doc_id": cand_ids.view(np.int64),
-                "score": score,
-                "term_count": np.full(cand_ids.size, n_instances, dtype=np.int32),
+                "doc_id": out_ids.view(np.int64),
+                "score": out_scores,
+                "term_count": np.full(out_ids.size, n_instances, dtype=np.int32),
             }
         )
 

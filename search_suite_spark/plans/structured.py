@@ -16,9 +16,10 @@ children's unscored doc-id sets with union (\\/), intersection (/\\) or
 difference (--). Leaves are unscored conjunctive text queries or regex
 union queries.
 
-Spark mapping: each leaf is an unscored() DataFrame of (doc_id, url); the
-fold uses DataFrame set algebra (union+distinct / intersect / subtract) —
-Catalyst plans these as hash-joins/aggregations over the doc-id sets.
+Spark mapping: each leaf is an unscored_ids() DataFrame of bare doc_ids
+(one isin-pruned postings scan per leaf); the fold is set algebra over
+8-byte doc-id rows — OR = union+distinct, AND = left-semi join, SUB =
+left-anti join. urls are resolved once, after the whole tree collapses.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 from search_suite_spark.operators.build import InvertedIndex
-from search_suite_spark.operators.query import unscored
+from search_suite_spark.operators.query import unscored_ids
 
 
 @dataclass
@@ -126,23 +127,32 @@ def parse_structured_query(query: str) -> Clause:
 
 
 def evaluate_structured(index: InvertedIndex, clause: Clause) -> DataFrame:
-    """Clause tree → DataFrame (doc_id, url) of the result doc set."""
+    """Clause tree → DataFrame of distinct doc_ids in the result set.
+
+    StructuredProcessor.hs:57-71's left-fold, over doc-id-only frames:
+    every leaf's ids are already distinct, so AND is a left-semi join and
+    SUB a left-anti join (cheaper than intersect/subtract, which re-dedupe
+    both sides); OR unions then dedupes once.
+    """
     if isinstance(clause, ClauseText):
-        return unscored(index, clause.text)
+        return unscored_ids(index, clause.text)
     if isinstance(clause, ClauseRegex):
-        return unscored(index, clause.pattern, mode="regex")
+        return unscored_ids(index, clause.pattern, mode="regex")
     assert isinstance(clause, Conjunction)
-    frames = [evaluate_structured(index, c) for c in clause.children]
-    acc = frames[0]
-    for f in frames[1:]:
-        if clause.op == "or":
-            acc = acc.unionByName(f).distinct()
-        elif clause.op == "and":
-            acc = acc.intersect(f)
-        else:  # sub
-            acc = acc.subtract(f)
+    if clause.op == "or":
+        acc = evaluate_structured(index, clause.children[0])
+        for c in clause.children[1:]:
+            acc = acc.unionByName(evaluate_structured(index, c))
+        return acc.distinct()
+    acc = evaluate_structured(index, clause.children[0])
+    how = "left_semi" if clause.op == "and" else "left_anti"
+    for c in clause.children[1:]:
+        acc = acc.join(evaluate_structured(index, c), "doc_id", how)
     return acc
 
 
 def structured_query(index: InvertedIndex, query: str) -> DataFrame:
-    return evaluate_structured(index, parse_structured_query(query))
+    """Structured boolean query → (doc_id, url); urls resolved once at
+    the very end, after the id-set algebra collapses."""
+    ids = evaluate_structured(index, parse_structured_query(query))
+    return ids.join(index.docs.select("doc_id", "url"), "doc_id")

@@ -47,15 +47,16 @@ from pyspark.sql import functions as F
 
 from search_suite_spark.operators.build import (
     dedupe_newest_wins,
-    doc_rows,
-    flat_postings,
+    doc_rows_fast,
+    token_rows,
 )
 from search_suite_spark.operators.codec import pack_posting_list
 
 PACKED_SCHEMA = (
     "term string, shard int, n long, ids binary, tfs binary, dls binary, "
     "ids_offs array<long>, tfs_offs array<long>, dls_offs array<long>, "
-    "block_last array<long>, block_max_tf array<long>, block_min_dl array<long>"
+    "block_last array<long>, block_max_tf array<long>, block_min_dl array<long>, "
+    "block_min_tf array<long>, block_max_dl array<long>"
 )
 
 LINEAGE_SCHEMA = (
@@ -68,34 +69,42 @@ def _u64_to_i64(vals) -> list[int]:
     return np.asarray(vals, dtype=np.uint64).view(np.int64).tolist()
 
 
-def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas packer for one (shard, term-bucket) group.
+def _pack_chunk(pdf: pd.DataFrame, has_tf: bool) -> pd.DataFrame:
+    """Pack a chunk of rows pre-sorted by (shard, term, uint64 doc_id).
 
-    One group = many complete posting lists. Grouping by (shard, tbucket)
-    instead of (term, shard) keeps the Python-side group count bounded
-    (shards × buckets, not |vocabulary| × shards — per-group overhead in
-    applyInPandas is the dominant cost otherwise) while the bucket hash
-    still bounds group *size*: the largest group is ~(postings in shard)
-    / n_tbuckets, so executor memory stays flat as the corpus grows.
+    The chunk contains only COMPLETE (shard, term) groups (the streaming
+    wrapper guarantees it). tf is run-length counted here when the input
+    is raw token instances (has_tf=False) — all instances of a (doc,
+    term) pair are adjacent after the JVM sort.
     """
-    shard = int(pdf["shard"].iloc[0])
+    sh = pdf["shard"].to_numpy(dtype=np.int64)
     terms = pdf["term"].to_numpy()
-    order = np.argsort(terms, kind="stable")
-    terms = terms[order]
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)[order].view(np.uint64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)[order].astype(np.uint64)
-    dls = pdf["doc_len"].to_numpy(dtype=np.int64)[order].astype(np.uint64)
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64).view(np.uint64)
+    dls = pdf["doc_len"].to_numpy(dtype=np.int64).astype(np.uint64)
 
-    starts = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
-    bounds = np.append(starts, terms.size)
+    new_group = np.concatenate(
+        ([True], (sh[1:] != sh[:-1]) | (terms[1:] != terms[:-1]))
+    )
+    if has_tf:
+        tfs = pdf["tf"].to_numpy(dtype=np.int64).astype(np.uint64)
+    else:
+        new_doc = new_group.copy()
+        new_doc[1:] |= ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new_doc)
+        tfs = np.diff(np.append(starts, ids.size)).astype(np.uint64)
+        ids, dls = ids[starts], dls[starts]
+        sh, terms, new_group = sh[starts], terms[starts], new_group[starts]
+
+    gstarts = np.flatnonzero(new_group)
+    bounds = np.append(gstarts, ids.size)
     rows = []
-    for i in range(starts.size):
+    for i in range(gstarts.size):
         s, e = bounds[i], bounds[i + 1]
-        p = pack_posting_list(ids[s:e], tfs[s:e], dls[s:e])
+        p = pack_posting_list(ids[s:e], tfs[s:e], dls[s:e], presorted=True)
         rows.append(
             {
                 "term": terms[s],
-                "shard": shard,
+                "shard": int(sh[s]),
                 "n": p["n"],
                 "ids": p["ids"],
                 "tfs": p["tfs"],
@@ -106,9 +115,57 @@ def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
                 "block_last": _u64_to_i64(p["block_last"]),
                 "block_max_tf": [int(x) for x in p["block_max_tf"]],
                 "block_min_dl": [int(x) for x in p["block_min_dl"]],
+                "block_min_tf": [int(x) for x in p["block_min_tf"]],
+                "block_max_dl": [int(x) for x in p["block_max_dl"]],
             }
         )
     return pd.DataFrame(rows)
+
+
+def _pack_stream(has_tf: bool):
+    """mapInPandas packer over a partition pre-sorted by
+    (shard, tbucket, term, uint64(doc_id)) — the build's ONLY Python
+    stage, and it does no sorting at all.
+
+    Design (vs an applyInPandas-per-group kernel): the heavy work — the
+    shuffle and the (term, doc_id) sort — happens JVM-side in Tungsten,
+    where it scales linearly with cores; Python only run-length-counts tf
+    and varbyte-packs, streaming one Arrow batch at a time. A group that
+    straddles batch boundaries is carried over (the carry is bounded by
+    one posting list = df(term)/n_shards rows — the doc-hash shard bound
+    on stop-word skew).
+    """
+
+    def go(batches):
+        pend: pd.DataFrame | None = None
+        for pdf in batches:
+            if pend is not None and len(pend):
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if not len(pdf):
+                continue
+            sh = pdf["shard"].to_numpy(dtype=np.int64)
+            terms = pdf["term"].to_numpy()
+            change = np.flatnonzero(
+                (sh[1:] != sh[:-1]) | (terms[1:] != terms[:-1])
+            )
+            if change.size == 0:
+                pend = pdf  # one (possibly giant) group continues
+                continue
+            cut = int(change[-1]) + 1
+            pend = pdf.iloc[cut:]
+            out = _pack_chunk(pdf.iloc[:cut], has_tf)
+            if len(out):
+                yield out
+        if pend is not None and len(pend):
+            out = _pack_chunk(pend, has_tf)
+            if len(out):
+                yield out
+
+    return go
+
+
+_U64_SIGN_FLIP = -(1 << 63)  # XOR flips int64 order into uint64 order
 
 
 @dataclass
@@ -158,27 +215,44 @@ def pack_and_write(
     mode: str = "overwrite",
     write_terms: bool = False,
 ) -> None:
-    """Pack flat postings (term, shard, doc_id, tf, doc_len) + docs rows
-    into segment tables under seg_dir and append per-shard lineage.
+    """Pack flat postings + docs rows into segment tables under seg_dir
+    and append per-shard lineage.
 
-    Shared by the from-pages build and the segment merge. ``shards``
-    restricts the lineage computation to a batch (resume granularity).
+    ``flat`` is either pre-counted posting rows (term, shard, doc_id, tf,
+    doc_len) — the merge path — or raw token instances (term, shard,
+    doc_id, doc_len) from the JVM tokenizer, in which case tf is counted
+    inside the pack kernel (one shuffle total for the whole build).
+    ``shards`` restricts the lineage computation to a batch (resume
+    granularity).
     """
     postings_path = os.path.join(seg_dir, "postings")
     docs_path = os.path.join(seg_dir, "docs")
     lineage_path = os.path.join(seg_dir, "lineage")
     t0 = time.monotonic()
 
+    kernel = _pack_stream(has_tf="tf" in flat.columns)
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # persist the packed frame: it is the *compressed* index (orders of
     # magnitude smaller than the flat postings), and three consumers read
     # it — the postings write, the lineage metrics, and (via the cache)
-    # nothing recomputes the expensive pack shuffle
+    # nothing recomputes the expensive pack shuffle.
+    # Shuffle keyed on (shard, tbucket): bounds per-task skew the same
+    # way a salted two-phase agg would (largest key group =
+    # postings_in_shard / n_tbuckets); the JVM sort makes (shard, term)
+    # groups adjacent and doc_ids uint64-ascending, so the Python packer
+    # is a pure streaming run-length pass.
     packed = (
         flat.withColumn(
             "tbucket", F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)).cast("int")
         )
-        .groupBy("shard", "tbucket")
-        .applyInPandas(_pack_bucket, PACKED_SCHEMA)
+        .repartition(npart, "shard", "tbucket")
+        .sortWithinPartitions(
+            "shard",
+            "tbucket",
+            "term",
+            F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)),
+        )
+        .mapInPandas(kernel, PACKED_SCHEMA)
         .persist()
     )
     try:
@@ -222,18 +296,30 @@ def pack_and_write(
         # lineage metrics: postings stats from the cached packed frame
         # (the write succeeded ⇒ it IS what landed); doc stats from a
         # read-back of the just-written (small) docs table — recomputing
-        # the docs frame would re-run its tokenizer pass
+        # the docs frame would re-run its tokenizer pass.
+        # The join is LEFT from the *explicit shard list* of the batch, so
+        # a shard with zero docs AND zero postings still gets a (zeroed)
+        # lineage row — otherwise a resumed build would rebuild empty
+        # shards forever and a fully-empty segment would crash read_segment.
         docs_read = spark.read.parquet(docs_path)
         if shards is not None:
             docs_read = docs_read.filter(F.col("shard").isin(shards))
+            shard_list = spark.createDataFrame([(s,) for s in shards], "shard int")
+        else:
+            shard_list = packed.select("shard").unionByName(
+                docs_read.select("shard")
+            ).distinct()
         lineage = (
-            packed.groupBy("shard")
-            .agg(
-                F.count("*").alias("n_terms"),
-                F.sum("n").alias("n_postings"),
-                F.sum(F.length("ids") + F.length("tfs") + F.length("dls")).alias(
-                    "packed_bytes"
+            shard_list.join(
+                packed.groupBy("shard").agg(
+                    F.count("*").alias("n_terms"),
+                    F.sum("n").alias("n_postings"),
+                    F.sum(
+                        F.length("ids") + F.length("tfs") + F.length("dls")
+                    ).alias("packed_bytes"),
                 ),
+                "shard",
+                "left",
             )
             .join(
                 docs_read.groupBy("shard").agg(
@@ -241,12 +327,12 @@ def pack_and_write(
                     F.sum("doc_len").alias("total_doc_len"),
                 ),
                 "shard",
-                "right",  # a shard can have docs even if tiny/no postings
+                "left",
             )
             .select(
                 "shard",
-                "n_docs",
-                "total_doc_len",
+                F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                F.coalesce("total_doc_len", F.lit(0)).alias("total_doc_len"),
                 F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
                 F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
                 F.coalesce("packed_bytes", F.lit(0)).alias("packed_bytes"),
@@ -319,6 +405,15 @@ def build_segment(
     spark = pages.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    # under-partitioned input starves the tokenize stage (a 3-partition
+    # scan runs 3 tasks no matter how many cores exist); one cheap page
+    # shuffle unlocks full parallelism. A genuinely large table (100 TB)
+    # always has ≥ cluster-parallelism partitions, so this never fires
+    # there — it is a small-input guard, not a standing repartition.
+    target = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < target:
+        pages = pages.repartition(target)
+
     if dedupe and "warc_ts" in pages.columns:
         pages = dedupe_newest_wins(pages)
 
@@ -332,14 +427,13 @@ def build_segment(
     for i in range(0, len(todo), shards_per_batch):
         batch = todo[i : i + shards_per_batch]
         bpages = sharded.filter(F.col("shard").isin(batch)).drop("shard")
-        # two independent streaming passes (flat postings + doc rows),
-        # both straight from pages — tokenize CPU is trivial next to the
-        # memory-bandwidth cost of persisting a tokenized intermediate,
-        # so no cache, no nested arrays, no explode (measured on
-        # local[32]: the persist variant was bandwidth-bound and did not
-        # scale past ~8 cores)
-        flat = flat_postings(bpages).withColumn("shard", shard_of_doc_id(n_shards))
-        docs_b = doc_rows(bpages).withColumn("shard", shard_of_doc_id(n_shards))
+        # two independent codegen'd passes straight from pages (token
+        # instances + doc rows) — JVM tokenizer, no Python workers, no
+        # cached intermediate (a persist was measured memory-bandwidth
+        # bound), no pre-count groupBy (tf is counted inside the pack
+        # kernel after the one shuffle)
+        flat = token_rows(bpages).withColumn("shard", shard_of_doc_id(n_shards))
+        docs_b = doc_rows_fast(bpages).withColumn("shard", shard_of_doc_id(n_shards))
         # salted two-phase shape: the shuffle key (shard, tbucket)
         # bounds both group size (postings/shard/n_tbuckets — stop-word
         # skew) and group count (applyInPandas per-group overhead)
@@ -356,11 +450,17 @@ def build_segment(
 
 
 def read_segment(spark: SparkSession, seg_dir: str) -> Segment:
-    postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
+    # explicit schema: skips footer-based inference on every open (at web
+    # scale a segment has thousands of posting files) and keeps an
+    # all-empty segment readable
+    postings = spark.read.schema(PACKED_SCHEMA).parquet(
+        os.path.join(seg_dir, "postings")
+    )
     docs = spark.read.parquet(os.path.join(seg_dir, "docs"))
     lineage = spark.read.parquet(os.path.join(seg_dir, "lineage"))
     stats = lineage.agg(
-        F.sum("n_docs").alias("nd"), F.sum("total_doc_len").alias("tdl")
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("nd"),
+        F.coalesce(F.sum("total_doc_len"), F.lit(0)).alias("tdl"),
     ).collect()[0]
     deletes_path = os.path.join(seg_dir, "deletes")
     deletes = None

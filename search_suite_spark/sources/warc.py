@@ -86,13 +86,11 @@ def record_to_page(rec: dict) -> tuple[str, str | None, str] | None:
             body = zlib.decompress(body)
         except zlib.error:
             return None
-    else:
-        # the reference writer always zlib-compresses bodies
-        # (Body.hs:29-33); sniff and fall through to raw on failure
-        try:
-            body = zlib.decompress(body)
-        except zlib.error:
-            pass
+    # no Content-Encoding header → body is raw bytes, never sniffed: a
+    # raw text body that happens to start with a valid zlib header (0x78)
+    # must not be silently mangled by a speculative decompress. (Our own
+    # writer always sets Content-Encoding: zlib, matching the reference's
+    # always-compressed bodies, Body.hs:29-33.)
     try:
         text = body.decode("utf-8", errors="strict")
     except UnicodeDecodeError:

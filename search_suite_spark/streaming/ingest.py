@@ -9,10 +9,14 @@ micro-batch becomes one immutable segment (exactly the reference's
 — so the segment set stays logarithmic in the number of batches while
 queries stay available throughout (scatter/gather across segments).
 
-Checkpointing: Spark's streaming checkpoint makes batch delivery
-exactly-once into `foreachBatch`; segment builds inside the batch are
-idempotent (build into tmp_, rename on success — a replayed batch that
-crashed mid-build just rebuilds the tmp dir).
+Checkpointing: Spark's streaming checkpoint gives at-least-once delivery
+into `foreachBatch`; exactly-once segment registration comes from making
+the batch handler idempotent on batch_id — the segment name is derived
+from the batch id and index_into_collection records completed names in
+the collection's _ingested markers, so a replayed micro-batch (crash
+after the segment rename but before the checkpoint commit, or after
+compaction already merged the segment away) is a no-op instead of a
+duplicate segment.
 
 Also here: watermarked windowed aggregation over an event stream —
 the standard late-data-tolerant rollup a training-data pipeline runs
@@ -60,6 +64,8 @@ def stream_pages_into_collection(
         index_into_collection(
             batch_df.sparkSession, batch_df, col_dir,
             n_shards=n_shards, compact=compact,
+            # deterministic name per micro-batch → replay-idempotent
+            segment_name=f"seg_b{batch_id:012d}",
         )
 
     writer = (

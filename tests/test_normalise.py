@@ -90,3 +90,68 @@ def test_normalise_total_and_lowercased_alpha(s):
         # alpha terms are lowercased (numeric runs verbatim)
         if t[:1].isascii() and t[:1].isalpha():
             assert t == t.lower()
+
+
+# --- JVM (Catalyst) tokenizer parity: the index-build hot path must
+#     tokenize exactly like the golden Python reference implementation ---
+
+_SQL_PARITY_CASES = [
+    "", "!!!@@@###", "One", "Hello World", "Hello123World456", "café naïve",
+    "helloWorld", "HelloWorld", "helloWorldAgain", "ABc", "aBC",
+    "http://doc1", "https://hostA.example/path_42", "007",
+    "überStraße", "ΚαλημέραΚόσμε", "日本語テスト123", "MixedΑλφαBeta",
+    "a1b2C3", "iPhone7Plus", "XMLHttpRequest", "İstanbul", "ıssız",
+    "ǅungla", "Ǆ", "ʰelloʷorld", "ǈxǉY", "ᵃᵇᶜDef", "ΣΊΣΥΦΟΣσίσυφος",
+    "tab\tsep", "new\nline", "nul\x01ctrl",
+]
+
+
+def _sql_tokens(spark, texts):
+    from pyspark.sql import functions as F
+
+    from search_suite_spark.functions.normalise import tokens_column
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    rows = df.select("i", tokens_column(F.col("text")).alias("toks")).collect()
+    return [list(r["toks"]) for r in sorted(rows, key=lambda r: r["i"])]
+
+
+def test_sql_tokenizer_parity_golden(spark):
+    got = _sql_tokens(spark, _SQL_PARITY_CASES)
+    for s, toks in zip(_SQL_PARITY_CASES, got):
+        assert toks == normalise(s), f"JVM tokenizer diverges on {s!r}"
+
+
+def test_sql_tokenizer_parity_corpus(spark):
+    """Parity over real corpus text + urls (the build tokenizes both)."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["t"] for r in docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"),
+                 F.lit(" "), F.col("text")).alias("t")).collect()]
+    got = _sql_tokens(spark, texts)
+    for s, toks in zip(texts, got):
+        assert toks == normalise(s)
+
+
+def test_sql_tokenizer_parity_random(spark):
+    """Randomized parity: mixed-script strings through both tokenizers.
+
+    Deterministic seed (no flaky CI); covers multi-byte chars, case
+    boundaries, digits and separators interleaved.
+    """
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    pool = (
+        "abcXYZ0189 .,-_/:" "äöüÉÈłŁ" "ΑβΓδ" "日本語の" "١٢٣" "ǅǄǈ" "ʰᵃ" "İı"
+    )
+    texts = [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 60)))
+        for _ in range(300)
+    ]
+    got = _sql_tokens(spark, texts)
+    for s, toks in zip(texts, got):
+        assert toks == normalise(s), f"JVM tokenizer diverges on {s!r}"

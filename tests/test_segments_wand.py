@@ -128,6 +128,55 @@ def test_resume_completes_interrupted_build(spark, seg, flat, tmp_path):
         assert w[url] == pytest.approx(score, rel=1e-9)
 
 
+def test_blockmax_skips_scoring_decodes():
+    """The block-max metadata must actually PRUNE: on a posting list with
+    one high-impact block (tf=100 in block 0, tf=1 elsewhere), a k=5
+    query must decode fewer tf/dl blocks than the list contains, and the
+    surviving scores must equal the exact BM25 values.
+
+    Deterministic kernel-level test (hand-packed list, ids in order) —
+    corpus-level rank identity is covered by the tests above. On a real
+    hash-sharded corpus single-term bounds are loose (score mass is
+    i.i.d. across blocks); the deterministic shape isolates the pruning
+    logic itself.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from search_suite_spark.operators import wand as W
+    from search_suite_spark.operators.codec import BLOCK, impact, pack_posting_list
+
+    n, n_docs, df, avgdl = 2000, 4000, 900, 120
+    ids = np.arange(1, n + 1, dtype=np.uint64)
+    tfs = np.where(ids <= BLOCK, 100, 1).astype(np.uint64)
+    dls = np.full(n, avgdl, dtype=np.uint64)
+    p = pack_posting_list(ids, tfs, dls, presorted=True)
+    row = {"term": "common", "shard": 0, **p}
+    pdf = pd.DataFrame([row])
+
+    kernel = W._shard_kernel(
+        {"common": (df, 1)}, n_docs, avgdl, 5, np.empty(0, dtype=np.uint64)
+    )
+    W.DECODE_STATS.update(blocks_decoded=0, blocks_total=0)
+    out = kernel(pdf)
+
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    assert W.DECODE_STATS["blocks_total"] == n_blocks
+    assert 0 < W.DECODE_STATS["blocks_decoded"] < n_blocks, (
+        "block-max bound must prune tf/dl block decodes "
+        f"(decoded {W.DECODE_STATS['blocks_decoded']} of {n_blocks})"
+    )
+    # pruning must be lossless: every returned score is exact, and the
+    # top-k set contains the hot docs with the exact hot score
+    idf = W._idf(n_docs, df)
+    hot = idf * float(impact(np.array([100]), np.array([avgdl]), avgdl)[0])
+    assert idf > 0
+    top = sorted(out["score"], reverse=True)[:5]
+    for s in top:
+        assert s == pytest.approx(hot, rel=1e-12)
+    assert len(out) >= 5
+
+
 def test_wand_deletion(spark, seg, flat):
     full = {r["url"] for r in wand_scored(seg, "spark").collect()}
     victim = sorted(full)[0]
