@@ -31,7 +31,10 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("search_suite_build").getOrCreate()
 
+    from search_suite_spark.session import apply_engine_conf
     from search_suite_spark.sources.segments import build_segment
+
+    apply_engine_conf(spark)
 
     pages = (
         spark.read.parquet(args.pages_parquet)

@@ -24,6 +24,10 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("search_suite_query").getOrCreate()
 
+    from search_suite_spark.session import apply_engine_conf
+
+    apply_engine_conf(spark)
+
     from search_suite_spark.operators.wand import wand_scored
     from search_suite_spark.sources.registry import load_collection, query_collection
     from search_suite_spark.sources.segments import read_segment

@@ -109,14 +109,21 @@ def merge_segments(
         .withColumn("shard", shard_of_doc_id(n_shards))
     )
 
-    live_ids_a = docs_a.select("doc_id")
-    live_ids_b = docs_b.select("doc_id")
-    flat = (
-        unpack_flat(seg_a)
-        .join(live_ids_a, "doc_id", "left_semi")
-        .unionByName(unpack_flat(seg_b).join(live_ids_b, "doc_id", "left_semi"))
-        .withColumn("shard", shard_of_doc_id(n_shards))
-    )
+    # M8 empty-side short-circuit (the reference fast-copies the non-empty
+    # side, merge.rs:70-94): skip the dead side's unpack scan entirely —
+    # num_docs straight from lineage metadata, no job scheduled. The live
+    # side still repacks (it may be re-sharding to a new n_shards).
+    sides = []
+    if seg_a.num_docs > 0:
+        sides.append(unpack_flat(seg_a).join(docs_a.select("doc_id"), "doc_id", "left_semi"))
+    if seg_b.num_docs > 0:
+        sides.append(unpack_flat(seg_b).join(docs_b.select("doc_id"), "doc_id", "left_semi"))
+    if not sides:
+        raise ValueError("refusing to merge two empty segments (index.rs:54-71)")
+    flat = sides[0]
+    for s in sides[1:]:
+        flat = flat.unionByName(s)
+    flat = flat.withColumn("shard", shard_of_doc_id(n_shards))
 
     # write_terms=True: the merge covers the whole segment in one pass,
     # so the dictionary comes from the persisted packed frame directly

@@ -12,6 +12,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable SQL confs to an existing
+    session — for spark-submit jobs whose SparkSession the cluster
+    launcher builds (get_spark below applies the same set).
+
+    The InferFiltersFromGenerate exclusion is load-bearing: the rule
+    clones the explode's child expression into an inferred pre-filter,
+    and our explode child is the whole Catalyst tokenizer — with the
+    rule on, every page is tokenized 3x.
+    """
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
+    return spark
+
+
 def get_spark(
     app: str = "search_suite_spark",
     cores: int | None = None,
@@ -34,6 +55,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate clones the generator's child expression
+        # into an inferred pre-explode filter (size(e)>0 AND isnotnull(e)).
+        # Our generator child is the whole Catalyst tokenizer — the rule
+        # makes every page get tokenized 3x (project + 2x in the filter).
+        # Empty token arrays are rare (blank docs), so the "optimization"
+        # is pure loss here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

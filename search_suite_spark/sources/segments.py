@@ -482,6 +482,47 @@ def read_segment(spark: SparkSession, seg_dir: str) -> Segment:
     )
 
 
+def dump_segment(seg: Segment, n_terms: int = 20) -> str:
+    """S11 index dump (debug): human-readable segment report — the
+    analogue of the reference's stdout dump
+    (/root/reference/indexer-qp2/src/dump.rs:6-41). Aggregates run
+    distributed; only the tiny report reaches the driver.
+    """
+    lineage = seg.postings.sparkSession.read.parquet(
+        os.path.join(seg.path, "lineage")
+    )
+    lrows = lineage.orderBy("shard").collect()
+    stats = seg.postings.agg(
+        F.count("*").alias("lists"),
+        F.sum("n").alias("postings"),
+        F.sum(F.length("ids") + F.length("tfs") + F.length("dls")).alias("bytes"),
+    ).collect()[0]
+    top = (
+        seg.postings.groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(n_terms)
+        .collect()
+    )
+    lines = [
+        f"segment {seg.path}",
+        f"  num_docs={seg.num_docs} total_doc_len={seg.total_doc_len} "
+        f"avgdl={seg.avgdl}",
+        f"  posting_lists={stats['lists']} postings={stats['postings']} "
+        f"packed_bytes={stats['bytes']}",
+        "  shard  docs  terms  postings  bytes  ms",
+    ]
+    for r in lrows:
+        lines.append(
+            f"  {r['shard']:>5}  {r['n_docs']:>4}  {r['n_terms']:>5}  "
+            f"{r['n_postings']:>8}  {r['packed_bytes']:>5}  {r['ms']}"
+        )
+    lines.append(f"  top {n_terms} terms by df:")
+    for r in top:
+        lines.append(f"    {r['term']}\t{r['df']}")
+    return "\n".join(lines)
+
+
 def delete_url(spark: SparkSession, seg: Segment, url: str) -> None:
     """Append the url's doc_id to the segment's deletes table (Q17)."""
     ids = seg.docs.filter(F.col("url") == url).select("doc_id")

@@ -136,6 +136,34 @@ def test_merge_reshards(spark, tmp_path):
     }
 
 
+def test_merge_empty_side_short_circuit(spark, tmp_path):
+    """M8: merging with an all-deleted side skips the dead side's scan
+    and equals the live side rebuilt (merge.rs:70-94 fast-copy path)."""
+    a = _seg(spark, tmp_path, "a8", DOCS_A)
+    b = _seg(spark, tmp_path, "b8", DOCS_B)
+    for url, _ in DOCS_B:
+        delete_url(spark, b, url)
+    b = read_segment(spark, str(tmp_path / "b8"))
+    m = merge_segments(spark, a, b, str(tmp_path / "m8"), n_shards=4)
+    assert m.num_docs == len(DOCS_A)
+    direct = build_index(pages_from_docs_list(spark, DOCS_A), dedupe=False)
+    got = {r["url"]: r["score"] for r in wand_scored(m, "foo").collect()}
+    want = {r["url"]: r["score"] for r in bm25_scored(direct, "foo").collect()}
+    assert set(got) == set(want)
+    for url, s in want.items():
+        assert got[url] == pytest.approx(s, rel=1e-9)
+
+
+def test_dump_segment_smoke(spark, tmp_path):
+    from search_suite_spark.sources.segments import dump_segment
+
+    a = _seg(spark, tmp_path, "a9", DOCS_A)
+    report = dump_segment(a, n_terms=5)
+    assert f"num_docs={a.num_docs}" in report
+    assert "top 5 terms by df:" in report
+    assert "sharing" in report  # appears in every DOCS_A doc
+
+
 def test_unpack_flat_roundtrip(spark, tmp_path):
     a = _seg(spark, tmp_path, "a7", DOCS_A)
     flat = unpack_flat(a)
