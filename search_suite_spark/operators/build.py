@@ -187,6 +187,49 @@ def token_rows(pages: DataFrame) -> DataFrame:
     )
 
 
+def token_rows_with_doc(pages: DataFrame) -> DataFrame:
+    """pages → exploded token instances with the doc's identity (url
+    [, warc_ts]) carried ONLY on its first token row (pos 0) — the
+    single-pass build: one tokenize, one shuffle, and the pack kernel
+    emits both posting rows and doc-table rows from the same stream.
+
+    posexplode_outer keeps zero-token docs (a null-term row with url set)
+    so the docs table matches doc_rows_fast() exactly. The carried url
+    costs ~one pointer per token row in the shuffle (null except at
+    pos 0) — far cheaper than the second full-tokenize pass it replaces.
+    """
+    has_ts = "warc_ts" in pages.columns
+    cols = [
+        F.xxhash64("url").alias("doc_id"),
+        F.col("url"),
+        tokens_column(F.col("url"), F.col("text")).alias("toks"),
+    ]
+    if has_ts:
+        cols.append(F.col("warc_ts"))
+    is_first = F.col("pos").isNull() | (F.col("pos") == 0)
+    return (
+        pages.select(*cols)
+        .select(
+            "doc_id",
+            F.size("toks").alias("_toksz"),
+            F.posexplode_outer("toks").alias("pos", "term"),
+            "url",
+            *(["warc_ts"] if has_ts else []),
+        )
+        .select(
+            "doc_id",
+            F.greatest(F.col("_toksz"), F.lit(0)).alias("doc_len"),
+            "term",
+            F.when(is_first, F.col("url")).alias("url"),
+            *(
+                [F.when(is_first, F.col("warc_ts")).alias("warc_ts")]
+                if has_ts
+                else []
+            ),
+        )
+    )
+
+
 def doc_rows_fast(pages: DataFrame) -> DataFrame:
     """pages → (doc_id, url, doc_len[, warc_ts]) via the JVM tokenizer —
     same output as doc_rows() but codegen'd end-to-end."""

@@ -180,6 +180,126 @@ def pack_posting_list(
     }
 
 
+def pack_many(
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    group_starts: np.ndarray,
+) -> dict:
+    """Vectorized pack of MANY posting lists at once — the whole-chunk
+    kernel behind the build's mapInArrow stage.
+
+    ``ids``/``tfs``/``dls`` are uint64 arrays covering all groups
+    back-to-back; ``group_starts`` are the start indices of each group
+    (posting list); within each group ids are ascending uint64. Packing
+    runs in O(chunk) numpy ops — no per-group Python loop: one varbyte
+    encode per column for the entire chunk, per-group buffers recovered
+    as byte-offset slices, block extrema via ``np.maximum.reduceat``.
+
+    Returns flat columns ready for Arrow assembly:
+      n:            int64[G]      postings per group
+      ids_buf/tfs_buf/dls_buf:    one contiguous bytes per column
+      ids_bounds/tfs_bounds/dls_bounds: int64[G+1] byte bounds per group
+      block_counts: int64[G]      blocks per group
+      block_last, block_max_tf, block_min_dl, block_min_tf, block_max_dl:
+                    int64[total_blocks] flat per-block metadata
+      ids_offs, tfs_offs, dls_offs: int64[total_blocks] byte offsets of
+                    each block start *relative to its group's buffer*
+    """
+    n_total = int(ids.size)
+    g_starts = np.asarray(group_starts, dtype=np.int64)
+    g_bounds = np.append(g_starts, n_total)
+    sizes = np.diff(g_bounds)
+
+    # position of each element within its group
+    gidx = np.zeros(n_total, dtype=np.int64)
+    gidx[g_starts[1:]] = 1
+    gidx = np.cumsum(gidx)  # group index per element
+    pos_in_group = np.arange(n_total, dtype=np.int64) - g_starts[gidx]
+
+    # block starts: every BLOCK-th element within a group
+    is_block_start = (pos_in_group % BLOCK) == 0
+    block_start_idx = np.flatnonzero(is_block_start)
+    block_group = gidx[block_start_idx]
+    block_counts = np.bincount(block_group, minlength=sizes.size).astype(np.int64)
+    # block end (exclusive): next block start within group, else group end
+    block_end_idx = np.empty_like(block_start_idx)
+    block_end_idx[:-1] = block_start_idx[1:]
+    if block_start_idx.size:
+        block_end_idx[-1] = n_total
+    same_group = np.empty(block_start_idx.size, dtype=bool)
+    if block_start_idx.size:
+        same_group[:-1] = block_group[:-1] == block_group[1:]
+        same_group[-1] = False
+        block_end_idx = np.where(same_group, block_end_idx, g_bounds[block_group + 1])
+
+    # block-restarted deltas (first id of each block absolute)
+    deltas = np.empty_like(ids)
+    if n_total:
+        deltas[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+        deltas[block_start_idx] = ids[block_start_idx]
+
+    id_lens = _varbyte_lengths(deltas)
+    tf_lens = _varbyte_lengths(tfs)
+    dl_lens = _varbyte_lengths(dls)
+
+    ids_csum = np.concatenate(([0], np.cumsum(id_lens)))
+    tfs_csum = np.concatenate(([0], np.cumsum(tf_lens)))
+    dls_csum = np.concatenate(([0], np.cumsum(dl_lens)))
+
+    out = {
+        "n": sizes,
+        "ids_buf": varbyte_encode(deltas, id_lens),
+        "tfs_buf": varbyte_encode(tfs, tf_lens),
+        "dls_buf": varbyte_encode(dls, dl_lens),
+        "ids_bounds": ids_csum[g_bounds],
+        "tfs_bounds": tfs_csum[g_bounds],
+        "dls_bounds": dls_csum[g_bounds],
+        "block_counts": block_counts,
+        # per-block byte offsets relative to the group's buffer start
+        "ids_offs": ids_csum[block_start_idx] - ids_csum[g_bounds[:-1]][block_group],
+        "tfs_offs": tfs_csum[block_start_idx] - tfs_csum[g_bounds[:-1]][block_group],
+        "dls_offs": dls_csum[block_start_idx] - dls_csum[g_bounds[:-1]][block_group],
+    }
+    if block_start_idx.size:
+        last = ids[block_end_idx - 1].view(np.int64)
+        out["block_last"] = last
+        out["block_max_tf"] = np.maximum.reduceat(tfs, block_start_idx).astype(np.int64)
+        out["block_min_dl"] = np.minimum.reduceat(dls, block_start_idx).astype(np.int64)
+        out["block_min_tf"] = np.minimum.reduceat(tfs, block_start_idx).astype(np.int64)
+        out["block_max_dl"] = np.maximum.reduceat(dls, block_start_idx).astype(np.int64)
+    else:
+        z = np.empty(0, dtype=np.int64)
+        out.update(block_last=z, block_max_tf=z, block_min_dl=z,
+                   block_min_tf=z, block_max_dl=z)
+    return out
+
+
+def run_length_by_doc(
+    ids: np.ndarray, dls: np.ndarray, group_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Collapse raw token instances (one row per occurrence) into
+    (doc_id, tf, doc_len) postings, vectorized over a whole chunk.
+
+    Rows are sorted so all instances of a (group, doc) pair are adjacent.
+    Returns (ids', tfs', dls', group_starts') on the collapsed arrays.
+    """
+    n = int(ids.size)
+    if n == 0:
+        z = np.empty(0, dtype=np.uint64)
+        return z, z.copy(), z.copy(), np.empty(0, dtype=np.int64)
+    new_doc = np.zeros(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = ids[1:] != ids[:-1]
+    new_doc[group_starts] = True
+    starts = np.flatnonzero(new_doc)
+    tfs = np.diff(np.append(starts, n)).astype(np.uint64)
+    # map old group starts to positions in the collapsed arrays
+    new_group_starts = np.searchsorted(starts, group_starts)
+    return ids[starts], tfs, dls[starts], new_group_starts
+
+
 def unpack_ids(row) -> np.ndarray:
     """ids-only full decode of a packed row → uint64 doc_ids.
 

@@ -47,8 +47,7 @@ from pyspark.sql import functions as F
 
 from search_suite_spark.operators.build import (
     dedupe_newest_wins,
-    doc_rows_fast,
-    token_rows,
+    token_rows_with_doc,
 )
 from search_suite_spark.operators.codec import pack_posting_list
 
@@ -57,6 +56,13 @@ PACKED_SCHEMA = (
     "ids_offs array<long>, tfs_offs array<long>, dls_offs array<long>, "
     "block_last array<long>, block_max_tf array<long>, block_min_dl array<long>, "
     "block_min_tf array<long>, block_max_dl array<long>"
+)
+
+# the pack kernel's full output: posting rows (term set, doc fields null)
+# interleaved with doc-table rows (term null, doc fields set) — the
+# single-pass build derives BOTH tables from one tokenize+shuffle job
+PACK_STREAM_SCHEMA = (
+    PACKED_SCHEMA + ", doc_id long, url string, doc_len int, warc_ts timestamp"
 )
 
 LINEAGE_SCHEMA = (
@@ -69,14 +75,64 @@ def _u64_to_i64(vals) -> list[int]:
     return np.asarray(vals, dtype=np.uint64).view(np.int64).tolist()
 
 
-def _pack_chunk(pdf: pd.DataFrame, has_tf: bool) -> pd.DataFrame:
+_PACK_COLS = [
+    "term", "shard", "n", "ids", "tfs", "dls", "ids_offs", "tfs_offs",
+    "dls_offs", "block_last", "block_max_tf", "block_min_dl",
+    "block_min_tf", "block_max_dl", "doc_id", "url", "doc_len", "warc_ts",
+]
+
+
+def _doc_rows_out(pdf: pd.DataFrame, has_ts: bool) -> pd.DataFrame | None:
+    """Extract doc-table rows from a chunk: rows whose url is set (the
+    pos-0 token row of each doc, or the null-term row of a 0-token doc).
+    Emitted once per doc — every input row passes through exactly one
+    chunk."""
+    mask = pdf["url"].notna()
+    if not mask.any():
+        return None
+    d = pdf.loc[mask, ["doc_id", "url", "doc_len", "shard"]]
+    out = pd.DataFrame(
+        {
+            "term": pd.array([None] * len(d), dtype=object),
+            "shard": d["shard"].to_numpy(dtype=np.int32),
+            "n": pd.array([None] * len(d), dtype="Int64"),
+            "doc_id": d["doc_id"].to_numpy(dtype=np.int64),
+            "url": d["url"].to_numpy(dtype=object),
+            "doc_len": d["doc_len"].to_numpy(dtype=np.int32),
+            "warc_ts": (
+                pdf.loc[mask, "warc_ts"].to_numpy()
+                if has_ts
+                else pd.Series([pd.NaT] * len(d), dtype="datetime64[ns]")
+            ),
+        }
+    )
+    for c in ("ids", "tfs", "dls", "ids_offs", "tfs_offs", "dls_offs",
+              "block_last", "block_max_tf", "block_min_dl", "block_min_tf",
+              "block_max_dl"):
+        out[c] = pd.array([None] * len(d), dtype=object)
+    return out[_PACK_COLS]
+
+
+def _pack_chunk(pdf: pd.DataFrame, has_tf: bool) -> list[pd.DataFrame]:
     """Pack a chunk of rows pre-sorted by (shard, term, uint64 doc_id).
 
     The chunk contains only COMPLETE (shard, term) groups (the streaming
     wrapper guarantees it). tf is run-length counted here when the input
     is raw token instances (has_tf=False) — all instances of a (doc,
-    term) pair are adjacent after the JVM sort.
+    term) pair are adjacent after the JVM sort. When the chunk carries
+    doc identity (single-pass build), doc-table rows are emitted too (as
+    a separate frame — Arrow batches need not be homogeneous).
     """
+    parts: list[pd.DataFrame] = []
+    if "url" in pdf.columns:
+        docs_out = _doc_rows_out(pdf, has_ts="warc_ts" in pdf.columns)
+        if docs_out is not None:
+            parts.append(docs_out)
+        if pdf["term"].isna().any():  # 0-token docs contribute no postings
+            pdf = pdf[pdf["term"].notna()]
+        if not len(pdf):
+            return parts
+
     sh = pdf["shard"].to_numpy(dtype=np.int64)
     terms = pdf["term"].to_numpy()
     ids = pdf["doc_id"].to_numpy(dtype=np.int64).view(np.uint64)
@@ -119,12 +175,16 @@ def _pack_chunk(pdf: pd.DataFrame, has_tf: bool) -> pd.DataFrame:
                 "block_max_dl": [int(x) for x in p["block_max_dl"]],
             }
         )
-    return pd.DataFrame(rows)
+    pack_df = pd.DataFrame(rows)
+    for c in ("doc_id", "url", "doc_len", "warc_ts"):
+        pack_df[c] = pd.array([None] * len(pack_df), dtype=object)
+    parts.append(pack_df[_PACK_COLS])
+    return parts
 
 
 def _pack_stream(has_tf: bool):
     """mapInPandas packer over a partition pre-sorted by
-    (shard, tbucket, term, uint64(doc_id)) — the build's ONLY Python
+    (shard, term, uint64(doc_id)) — the build's ONLY Python
     stage, and it does no sorting at all.
 
     Design (vs an applyInPandas-per-group kernel): the heavy work — the
@@ -154,18 +214,195 @@ def _pack_stream(has_tf: bool):
                 continue
             cut = int(change[-1]) + 1
             pend = pdf.iloc[cut:]
-            out = _pack_chunk(pdf.iloc[:cut], has_tf)
-            if len(out):
-                yield out
+            for out in _pack_chunk(pdf.iloc[:cut], has_tf):
+                if len(out):
+                    yield out
         if pend is not None and len(pend):
-            out = _pack_chunk(pend, has_tf)
-            if len(out):
-                yield out
+            for out in _pack_chunk(pend, has_tf):
+                if len(out):
+                    yield out
 
     return go
 
 
 _U64_SIGN_FLIP = -(1 << 63)  # XOR flips int64 order into uint64 order
+
+
+def _pack_stream_arrow(has_tf: bool):
+    """mapInArrow packer — same contract as _pack_stream (rows pre-sorted
+    by (shard, term, uint64 doc_id); complete groups per chunk; doc rows
+    carried on url-bearing rows) but with ZERO per-row or per-group
+    Python: group boundaries come from pyarrow C++ compare kernels, tf
+    run-length counting and the varbyte pack are whole-chunk numpy
+    (codec.run_length_by_doc / codec.pack_many), term values never
+    materialize as Python strings (pc.take keeps them in Arrow), and the
+    packed binary/list columns are assembled zero-copy from one buffer
+    per column. The pandas kernel (_pack_stream) is kept as the golden
+    reference implementation for tests.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from search_suite_spark.operators.codec import pack_many, run_length_by_doc
+
+    def batch_to_output(t: pa.Table) -> list[pa.RecordBatch]:
+        n = t.num_rows
+        cols = set(t.column_names)
+        has_doc = "url" in cols
+        has_ts = "warc_ts" in cols
+        ts_type = t.schema.field("warc_ts").type if has_ts else pa.timestamp("us")
+        out: list[pa.RecordBatch] = []
+
+        def arr(name):
+            c = t.column(name)
+            return c.chunk(0) if c.num_chunks == 1 else c.combine_chunks()
+
+        term_a = arr("term")
+        sh = np.asarray(arr("shard"), dtype=np.int64)
+        ids = np.asarray(arr("doc_id"), dtype=np.int64)
+        dls = np.asarray(arr("doc_len"), dtype=np.int64)
+
+        def schema_batch(kind_arrays: dict) -> pa.RecordBatch:
+            fields, arrays = [], []
+            for name, typ in (
+                ("term", pa.string()), ("shard", pa.int32()), ("n", pa.int64()),
+                ("ids", pa.binary()), ("tfs", pa.binary()), ("dls", pa.binary()),
+                ("ids_offs", pa.list_(pa.int64())),
+                ("tfs_offs", pa.list_(pa.int64())),
+                ("dls_offs", pa.list_(pa.int64())),
+                ("block_last", pa.list_(pa.int64())),
+                ("block_max_tf", pa.list_(pa.int64())),
+                ("block_min_dl", pa.list_(pa.int64())),
+                ("block_min_tf", pa.list_(pa.int64())),
+                ("block_max_dl", pa.list_(pa.int64())),
+                ("doc_id", pa.int64()), ("url", pa.string()),
+                ("doc_len", pa.int32()), ("warc_ts", ts_type),
+            ):
+                fields.append(pa.field(name, typ))
+                a = kind_arrays.get(name)
+                if a is None:
+                    a = pa.nulls(kind_arrays["__len__"], typ)
+                arrays.append(a)
+            return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+        if has_doc:
+            url_a = arr("url")
+            doc_mask = url_a.is_valid()
+            n_docs = int(pc.sum(doc_mask).as_py() or 0)
+            if n_docs:
+                mask_np = np.asarray(doc_mask)
+                out.append(schema_batch({
+                    "__len__": n_docs,
+                    "shard": pa.array(sh[mask_np].astype(np.int32)),
+                    "doc_id": pa.array(ids[mask_np]),
+                    "url": pc.filter(url_a, doc_mask),
+                    "doc_len": pa.array(dls[mask_np].astype(np.int32)),
+                    **({"warc_ts": pc.filter(arr("warc_ts"), doc_mask)}
+                       if has_ts else {}),
+                }))
+            # 0-token docs (null term) contribute no postings
+            if term_a.null_count:
+                keep = term_a.is_valid()
+                keep_np = np.asarray(keep)
+                term_a = pc.filter(term_a, keep)
+                sh, ids, dls = sh[keep_np], ids[keep_np], dls[keep_np]
+                n = int(term_a.length())
+
+        if n == 0:
+            return out
+
+        # group starts: shard or term changes (term is never null here)
+        neq = pc.fill_null(
+            pc.not_equal(term_a.slice(1), term_a.slice(0, n - 1)), True
+        )
+        change = np.asarray(neq) | (sh[1:] != sh[:-1])
+        group_starts = np.concatenate(
+            ([0], np.flatnonzero(change) + 1)
+        ).astype(np.int64)
+
+        gfirst = group_starts  # original index of each group's first row
+        u_ids = ids.view(np.uint64)
+        u_dls = dls.astype(np.uint64)
+        if has_tf:
+            u_tfs = np.asarray(arr("tf"), dtype=np.int64).astype(np.uint64)
+        else:
+            u_ids, u_tfs, u_dls, group_starts = run_length_by_doc(
+                u_ids, u_dls, group_starts
+            )
+
+        p = pack_many(u_ids, u_tfs, u_dls, group_starts)
+        g = int(p["n"].size)
+
+        def binary_arr(buf: bytes, bounds: np.ndarray) -> pa.Array:
+            return pa.Array.from_buffers(
+                pa.binary(), g,
+                [None, pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                 pa.py_buffer(buf)],
+            )
+
+        bb = np.concatenate(([0], np.cumsum(p["block_counts"]))).astype(np.int32)
+
+        def list_arr(vals: np.ndarray) -> pa.Array:
+            return pa.ListArray.from_arrays(pa.array(bb), pa.array(vals))
+
+        out.append(schema_batch({
+            "__len__": g,
+            "term": pc.take(term_a, pa.array(gfirst)),
+            "shard": pa.array(sh[gfirst].astype(np.int32)),
+            "n": pa.array(p["n"]),
+            "ids": binary_arr(p["ids_buf"], p["ids_bounds"]),
+            "tfs": binary_arr(p["tfs_buf"], p["tfs_bounds"]),
+            "dls": binary_arr(p["dls_buf"], p["dls_bounds"]),
+            "ids_offs": list_arr(p["ids_offs"]),
+            "tfs_offs": list_arr(p["tfs_offs"]),
+            "dls_offs": list_arr(p["dls_offs"]),
+            "block_last": list_arr(p["block_last"]),
+            "block_max_tf": list_arr(p["block_max_tf"]),
+            "block_min_dl": list_arr(p["block_min_dl"]),
+            "block_min_tf": list_arr(p["block_min_tf"]),
+            "block_max_dl": list_arr(p["block_max_dl"]),
+        }))
+        return out
+
+    def go(batches):
+        pend: pa.Table | None = None
+        for rb in batches:
+            t = pa.Table.from_batches([rb])
+            if pend is not None:
+                t = pa.concat_tables([pend, t]).combine_chunks()
+                pend = None
+            n = t.num_rows
+            if n == 0:
+                continue
+            term_c = t.column("term")
+            term_a = term_c.chunk(0) if term_c.num_chunks == 1 else term_c.combine_chunks()
+            sh = np.asarray(t.column("shard"), dtype=np.int64)
+            # a group ends where shard changes, term value changes, or
+            # term validity flips (null-term doc rows sort first)
+            neq_vals = pc.fill_null(
+                pc.not_equal(term_a.slice(1), term_a.slice(0, n - 1)), False
+            )
+            valid = np.asarray(term_a.is_valid())
+            change = (
+                np.asarray(neq_vals)
+                | (valid[1:] != valid[:-1])
+                | (sh[1:] != sh[:-1])
+            )
+            cut_points = np.flatnonzero(change)
+            if cut_points.size == 0:
+                pend = t  # one (possibly giant) group continues
+                continue
+            cut = int(cut_points[-1]) + 1
+            pend = t.slice(cut)
+            for out in batch_to_output(t.slice(0, cut)):
+                if out.num_rows:
+                    yield out
+        if pend is not None and pend.num_rows:
+            for out in batch_to_output(pend.combine_chunks()):
+                if out.num_rows:
+                    yield out
+
+    return go
 
 
 @dataclass
@@ -208,20 +445,23 @@ def shard_of_doc_id(n_shards: int):
 def pack_and_write(
     spark: SparkSession,
     flat: DataFrame,
-    docs: DataFrame,
+    docs: DataFrame | None,
     seg_dir: str,
     n_tbuckets: int = 64,
     shards: list[int] | None = None,
     mode: str = "overwrite",
     write_terms: bool = False,
 ) -> None:
-    """Pack flat postings + docs rows into segment tables under seg_dir
+    """Pack flat postings (+ docs rows) into segment tables under seg_dir
     and append per-shard lineage.
 
     ``flat`` is either pre-counted posting rows (term, shard, doc_id, tf,
-    doc_len) — the merge path — or raw token instances (term, shard,
-    doc_id, doc_len) from the JVM tokenizer, in which case tf is counted
-    inside the pack kernel (one shuffle total for the whole build).
+    doc_len) — the merge path, with ``docs`` supplied separately — or raw
+    token instances (term, shard, doc_id, doc_len, url[, warc_ts]) from
+    token_rows_with_doc, in which case ``docs=None``: tf is run-length
+    counted inside the pack kernel and the docs table is emitted from the
+    SAME stream — one tokenize, one shuffle for the whole build (the
+    second full-tokenize docs pass measurably broke core scaling).
     ``shards`` restricts the lineage computation to a batch (resume
     granularity).
     """
@@ -230,36 +470,50 @@ def pack_and_write(
     lineage_path = os.path.join(seg_dir, "lineage")
     t0 = time.monotonic()
 
-    kernel = _pack_stream(has_tf="tf" in flat.columns)
+    kernel = _pack_stream_arrow(has_tf="tf" in flat.columns)
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    single_pass = docs is None
+    if single_pass and "url" not in flat.columns:
+        raise ValueError("single-pass pack needs url-carrying flat rows")
     # persist the packed frame: it is the *compressed* index (orders of
-    # magnitude smaller than the flat postings), and three consumers read
-    # it — the postings write, the lineage metrics, and (via the cache)
-    # nothing recomputes the expensive pack shuffle.
-    # Shuffle keyed on (shard, tbucket): bounds per-task skew the same
-    # way a salted two-phase agg would (largest key group =
-    # postings_in_shard / n_tbuckets); the JVM sort makes (shard, term)
-    # groups adjacent and doc_ids uint64-ascending, so the Python packer
-    # is a pure streaming run-length pass.
+    # magnitude smaller than the flat postings) and every downstream
+    # table — postings, docs (single-pass), lineage metrics, terms — is a
+    # cheap scan of it; nothing recomputes the expensive pack shuffle.
+    # Shuffle keyed on (shard, tbucket-expression): bounds per-task skew
+    # the same way a salted two-phase agg would (largest key group =
+    # postings_in_shard / n_tbuckets); tbucket is a pure partitioning
+    # salt, so it is never materialized as a column — the sort only needs
+    # (shard, term, uint64(doc_id)) to make groups adjacent, and the
+    # Python packer is then a pure streaming run-length pass.
+    tbucket = F.pmod(F.xxhash64("term"), F.lit(n_tbuckets))
     packed = (
-        flat.withColumn(
-            "tbucket", F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)).cast("int")
-        )
-        .repartition(npart, "shard", "tbucket")
+        flat.repartition(npart, F.col("shard"), tbucket)
         .sortWithinPartitions(
             "shard",
-            "tbucket",
             "term",
             F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)),
         )
-        .mapInPandas(kernel, PACKED_SCHEMA)
+        .mapInArrow(kernel, PACK_STREAM_SCHEMA)
         .persist()
     )
     try:
+        is_doc_row = F.col("term").isNull()
+        if single_pass:
+            # one job materializes the pack shuffle into the cache; the
+            # table writes below are then cache scans
+            packed.count()
+            docs = packed.filter(is_doc_row).select(
+                "doc_id", "url", "doc_len", "warc_ts", "shard"
+            )
+            if "warc_ts" not in flat.columns:
+                docs = docs.drop("warc_ts")
+        postings_out = packed.filter(~is_doc_row).select(
+            *[c.split(" ")[0] for c in PACKED_SCHEMA.split(", ")]
+        )
+
         # the two table writes are independent jobs — run them on two
         # driver threads so the Spark scheduler overlaps them (each job's
-        # fixed submit/commit latency is a serial tail otherwise; this is
-        # the single biggest lever on small-batch build latency).
+        # fixed submit/commit latency is a serial tail otherwise).
         #
         # postings: repartition by shard before the write — cheap on
         # packed data, and it yields one file per shard (query latency is
@@ -271,7 +525,7 @@ def pack_and_write(
 
         def _write_postings():
             (
-                packed.repartition("shard")
+                postings_out.repartition("shard")
                 .sortWithinPartitions("term")
                 .write.mode(mode)
                 .partitionBy("shard")
@@ -311,7 +565,7 @@ def pack_and_write(
             ).distinct()
         lineage = (
             shard_list.join(
-                packed.groupBy("shard").agg(
+                postings_out.groupBy("shard").agg(
                     F.count("*").alias("n_terms"),
                     F.sum("n").alias("n_postings"),
                     F.sum(
@@ -344,7 +598,7 @@ def pack_and_write(
             # caller guarantees this call covers the whole segment — the
             # dictionary comes straight from the still-persisted packed
             # frame, saving the end-of-build postings read-back
-            write_terms_table(spark, seg_dir, postings=packed)
+            write_terms_table(spark, seg_dir, postings=postings_out)
     finally:
         packed.unpersist()
 
@@ -427,19 +681,21 @@ def build_segment(
     for i in range(0, len(todo), shards_per_batch):
         batch = todo[i : i + shards_per_batch]
         bpages = sharded.filter(F.col("shard").isin(batch)).drop("shard")
-        # two independent codegen'd passes straight from pages (token
-        # instances + doc rows) — JVM tokenizer, no Python workers, no
-        # cached intermediate (a persist was measured memory-bandwidth
-        # bound), no pre-count groupBy (tf is counted inside the pack
-        # kernel after the one shuffle)
-        flat = token_rows(bpages).withColumn("shard", shard_of_doc_id(n_shards))
-        docs_b = doc_rows_fast(bpages).withColumn("shard", shard_of_doc_id(n_shards))
+        # ONE codegen'd pass straight from pages: the JVM tokenizer emits
+        # token instances with the doc identity carried on each doc's
+        # first row, so the pack shuffle feeds postings AND the docs
+        # table — no second tokenize pass, no Python workers before the
+        # pack kernel, no pre-count groupBy (tf is counted inside the
+        # pack kernel after the one shuffle)
+        flat = token_rows_with_doc(bpages).withColumn(
+            "shard", shard_of_doc_id(n_shards)
+        )
         # salted two-phase shape: the shuffle key (shard, tbucket)
         # bounds both group size (postings/shard/n_tbuckets — stop-word
-        # skew) and group count (applyInPandas per-group overhead)
+        # skew) and group count (per-group pack overhead)
         one_shot = not done and len(batch) == len(todo)
         pack_and_write(
-            spark, flat, docs_b, seg_dir, n_tbuckets, shards=batch,
+            spark, flat, None, seg_dir, n_tbuckets, shards=batch,
             write_terms=one_shot,
         )
 

@@ -99,3 +99,85 @@ def test_compression_beats_raw():
     packed = pack_posting_list(ids, tfs, dls)
     raw_bytes = ids.size * 8
     assert len(packed["ids"]) < raw_bytes / 4
+
+
+# ---------------------------------------------------------------------------
+# pack_many / run_length_by_doc: the whole-chunk vectorized kernels behind
+# the mapInArrow build stage must agree with the per-list golden packer.
+# ---------------------------------------------------------------------------
+
+from search_suite_spark.operators.codec import pack_many, run_length_by_doc  # noqa: E402
+
+group_chunks = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**64 - 1),
+            st.integers(min_value=1, max_value=300),
+            st.integers(min_value=1, max_value=100000),
+        ),
+        min_size=1,
+        max_size=300,
+        unique_by=lambda t: t[0],
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _chunk_arrays(groups):
+    ids_l, tfs_l, dls_l, starts = [], [], [], []
+    pos = 0
+    for rows in groups:
+        rows = sorted(rows, key=lambda t: t[0])
+        starts.append(pos)
+        ids_l.append(np.array([r[0] for r in rows], dtype=np.uint64))
+        tfs_l.append(np.array([r[1] for r in rows], dtype=np.uint64))
+        dls_l.append(np.array([r[2] for r in rows], dtype=np.uint64))
+        pos += len(rows)
+    return (
+        np.concatenate(ids_l), np.concatenate(tfs_l), np.concatenate(dls_l),
+        np.array(starts, dtype=np.int64), ids_l, tfs_l, dls_l,
+    )
+
+
+@given(group_chunks)
+@settings(max_examples=60, deadline=None)
+def test_pack_many_matches_per_list_packer(groups):
+    ids, tfs, dls, gs, ids_l, tfs_l, dls_l = _chunk_arrays(groups)
+    out = pack_many(ids, tfs, dls, gs)
+    bb = np.concatenate(([0], np.cumsum(out["block_counts"])))
+    for i in range(len(groups)):
+        ref = pack_posting_list(ids_l[i], tfs_l[i], dls_l[i], presorted=True)
+        s, e = bb[i], bb[i + 1]
+        assert int(out["n"][i]) == ref["n"]
+        assert out["ids_buf"][out["ids_bounds"][i]:out["ids_bounds"][i + 1]] == ref["ids"]
+        assert out["tfs_buf"][out["tfs_bounds"][i]:out["tfs_bounds"][i + 1]] == ref["tfs"]
+        assert out["dls_buf"][out["dls_bounds"][i]:out["dls_bounds"][i + 1]] == ref["dls"]
+        assert list(out["ids_offs"][s:e]) == ref["ids_offs"]
+        assert list(out["tfs_offs"][s:e]) == ref["tfs_offs"]
+        assert list(out["dls_offs"][s:e]) == ref["dls_offs"]
+        ref_last = [
+            int(np.asarray(x, dtype=np.uint64).view(np.int64))
+            for x in ref["block_last"]
+        ]
+        assert list(out["block_last"][s:e]) == ref_last
+        assert list(out["block_max_tf"][s:e]) == ref["block_max_tf"]
+        assert list(out["block_min_dl"][s:e]) == ref["block_min_dl"]
+        assert list(out["block_min_tf"][s:e]) == ref["block_min_tf"]
+        assert list(out["block_max_dl"][s:e]) == ref["block_max_dl"]
+
+
+@given(group_chunks)
+@settings(max_examples=60, deadline=None)
+def test_run_length_by_doc_collapses_token_instances(groups):
+    ids, tfs, dls, gs, *_ = _chunk_arrays(groups)
+    # expand each (doc, tf) into tf adjacent token-instance rows
+    exp_ids = np.repeat(ids, tfs.astype(np.int64))
+    exp_dls = np.repeat(dls, tfs.astype(np.int64))
+    row_of = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+    exp_gs = row_of[gs]
+    rids, rtfs, rdls, rgs = run_length_by_doc(exp_ids, exp_dls, exp_gs)
+    assert np.array_equal(rids, ids)
+    assert np.array_equal(rtfs, tfs)
+    assert np.array_equal(rdls, dls)
+    assert np.array_equal(rgs, gs)
