@@ -135,20 +135,86 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _warc_record_bytes(url: str, date: str, text: str) -> bytes:
+    """One WARC response record with a zlib-compressed body (the
+    reference writer's shape, WarcFileWriter.hs:64-73 + Body.hs:29-33)."""
+    body = zlib.compress(text.encode("utf-8"))
+    headers = (
+        b"WARC/1.0\r\n"
+        + b"WARC-Type: response\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + b"Content-Encoding: zlib\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+    )
+    return headers + CRLF + body + CRLF + CRLF
+
+
 def write_warc(path: str, pages: list[tuple[str, str, str]]) -> None:
-    """Write (url, warc_date, text) tuples as one WARC file with
-    zlib-compressed bodies (the reference writer's shape,
-    WarcFileWriter.hs:64-73). Driver-side helper for tests/fixtures —
-    the engine's real sink is the pages table."""
+    """Driver-side single-file writer for tests/fixtures; the scale sink
+    is write_warc_distributed below."""
     with open(path, "wb") as f:
         for url, date, text in pages:
-            body = zlib.compress(text.encode("utf-8"))
-            headers = (
-                b"WARC/1.0\r\n"
-                + b"WARC-Type: response\r\n"
-                + f"WARC-Target-URI: {url}\r\n".encode()
-                + f"WARC-Date: {date}\r\n".encode()
-                + b"Content-Encoding: zlib\r\n"
-                + f"Content-Length: {len(body)}\r\n".encode()
-            )
-            f.write(headers + CRLF + body + CRLF + CRLF)
+            f.write(_warc_record_bytes(url, date, text))
+
+
+def write_warc_distributed(pages: DataFrame, out_dir: str) -> DataFrame:
+    """S7 at scale: write a pages frame as one WARC file PER PARTITION
+    under ``out_dir``, each with a u64-offsets sidecar (the reference
+    keeps an offset array per segment WARC for binary-searched record
+    fetch, WarcFileWriter.hs:44-73 / WarcFileReader.hs:78-135 — the
+    sidecar is that array, little-endian u64 record-start offsets).
+
+    Tasks write to a temp name and os.replace() into
+    ``part-<partitionId>.warc`` — idempotent under task retries and
+    speculative execution. Returns the manifest (file, n_records, bytes)
+    computed ON the executors; no page data crosses the driver.
+
+    Local-filesystem sink by design: on a cluster this targets a shared
+    mount; an object-store variant would stream multipart uploads
+    instead (isolated here the same way the parquet segment store
+    isolates its catalog choice).
+    """
+    import os
+    import struct
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["url", "warc_ts", "text"]
+    src = pages.select(
+        "url", F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        "text",
+    )
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(out_dir, f"part-{pid:05d}.warc")
+        final_offs = final + ".offsets"
+        tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
+        n = 0
+        offsets: list[int] = []
+        with open(tmp, "wb") as f:
+            for pdf in batches:
+                for url, date, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
+                    offsets.append(f.tell())
+                    f.write(_warc_record_bytes(
+                        url, date or "1970-01-01T00:00:00Z", text or ""))
+                    n += 1
+        if n == 0:
+            os.unlink(tmp)
+            yield pd.DataFrame({"file": [], "n_records": [], "bytes": []})
+            return
+        size = os.path.getsize(tmp)
+        with open(tmp + ".offsets", "wb") as f:
+            f.write(struct.pack(f"<{len(offsets)}Q", *offsets))
+        os.replace(tmp + ".offsets", final_offs)
+        os.replace(tmp, final)
+        yield pd.DataFrame({"file": [final], "n_records": [n], "bytes": [size]})
+
+    manifest = src.select(*cols).mapInPandas(
+        go, "file string, n_records long, bytes long"
+    ).cache()
+    manifest.count()  # run the write job now; the cached manifest is tiny
+    return manifest

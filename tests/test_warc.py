@@ -77,3 +77,41 @@ def test_warc_to_index_end_to_end(spark, tmp_path):
     assert got == {"http://w1", "http://w2"}
     got = {r["url"] for r in wand_scored(seg, "café").collect()}
     assert got == {"http://w3"}
+
+
+def test_write_warc_distributed_roundtrip(spark, tmp_path):
+    """S7 scale sink: per-partition WARC files + u64 offset sidecars;
+    read_warc over the output recovers exactly the input pages."""
+    import os
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from search_suite_spark.sources.warc import read_warc, write_warc_distributed
+
+    pages = spark.createDataFrame(
+        [(f"http://site/{i}", f"2024-01-0{1 + i % 9}T00:00:00Z", f"doc body {i}")
+         for i in range(20)],
+        "url string, ts string, text string",
+    ).select("url", F.to_timestamp("ts").alias("warc_ts"), "text").repartition(3)
+
+    out = str(tmp_path / "warcs")
+    manifest = write_warc_distributed(pages, out)
+    rows = manifest.collect()
+    assert sum(r["n_records"] for r in rows) == 20
+    for r in rows:
+        assert os.path.getsize(r["file"]) == r["bytes"]
+        offs = open(r["file"] + ".offsets", "rb").read()
+        vals = struct.unpack(f"<{len(offs) // 8}Q", offs)
+        assert len(vals) == r["n_records"]
+        assert vals[0] == 0 and list(vals) == sorted(vals)
+        # each offset points at a record start
+        with open(r["file"], "rb") as f:
+            for o in vals:
+                f.seek(o)
+                assert f.read(8) == b"WARC/1.0"
+
+    back = read_warc(spark, out + "/*.warc")
+    got = {(r["url"], r["text"]) for r in back.collect()}
+    want = {(f"http://site/{i}", f"doc body {i}") for i in range(20)}
+    assert got == want

@@ -1,15 +1,27 @@
 """Scaling-efficiency evidence for the north_rule (N vs 4N executors).
 
 No real cluster exists in this sandbox, so the two "cluster sizes" are
-two parallelism levels of the same job on the same input: local[8] vs
-local[32] (4x the cores). Each run is a fresh JVM (subprocess) building
-the packed segment over the identical replicated corpus; throughput =
-docs / build-wall-seconds; scaling efficiency =
-(throughput_4N / throughput_N) / 4.
+two parallelism levels of the same job on the same input (N and 4N
+cores). Each run is a fresh JVM (subprocess) building the packed segment
+over the identical replicated corpus; throughput = docs / build-wall-
+seconds; scaling efficiency = (throughput_4N / throughput_N) / 4.
+
+The sandbox host is a shared, intermittently oversubscribed VM (steal
+time spikes of several cores), and its deliverable compute does NOT
+scale linearly with vCPU count even for embarrassingly parallel work —
+so the harness (a) interleaves configs and takes best-of-K, (b) records
+/proc/stat steal time per run, and (c) optionally measures the HARDWARE
+ceiling at each parallelism level with two calibration loads: a pure
+Python busy loop (multiprocessing, no JVM) and a pure-ALU Spark job
+(range → xxhash64 chain → sum, no shuffle, no Python). The calibrated
+"software efficiency" = raw build efficiency / hardware-ceiling
+efficiency isolates what the ENGINE adds on top of what the host can
+physically deliver.
 
 Usage:
     python tools/scaling_bench.py [--sf-dir D] [--replication R]
-                                  [--runs K] [--update-baseline]
+                                  [--runs K] [--cores N 4N]
+                                  [--calibrate] [--update-baseline]
 
 Prints one JSON line; --update-baseline rewrites the '## BENCH' section
 of BASELINE.md with the numbers.
@@ -33,6 +45,10 @@ from search_suite_spark.session import get_spark
 from search_suite_spark.sources.corpus import pages_from_documents
 from search_suite_spark.sources.segments import build_segment
 
+def steal():
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
 cores = {cores}
 spark = get_spark(app=f"scaling_{{cores}}", cores=cores,
                   shuffle_partitions=max(cores, 8))
@@ -48,27 +64,90 @@ if not staged:
 pages = spark.read.parquet(staged + "/pages")
 n_docs = pages.count()
 seg_dir = tempfile.mkdtemp(prefix=f"scale_seg_{{cores}}_", dir="/dev/shm")
+st0 = steal()
 t0 = time.monotonic()
 build_segment(pages, seg_dir, n_shards=32, shards_per_batch=32, resume=False)
 secs = time.monotonic() - t0
+steal_cores = (steal() - st0) / 100.0 / secs
 shutil.rmtree(seg_dir, ignore_errors=True)
 print("SCALING_RESULT " + json.dumps({{"cores": cores, "secs": secs,
-                                       "n_docs": n_docs, "staged": staged}}))
+                                       "n_docs": n_docs, "staged": staged,
+                                       "steal_cores": round(steal_cores, 2)}}))
 spark.stop()
 """
 
+ALU_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from search_suite_spark.session import get_spark
+cores = {cores}
+spark = get_spark(app=f"alu_{{cores}}", cores=cores, shuffle_partitions=cores)
+df = spark.range(0, 3_200_000_000, 1, cores * 4)
+c = F.col("id")
+for _ in range(8):
+    c = F.xxhash64(c)
+t0 = time.monotonic()
+df.select(F.sum(F.shiftright(c, 32))).collect()
+secs = time.monotonic() - t0
+print("ALU_RESULT " + json.dumps({{"cores": cores, "secs": secs}}))
+spark.stop()
+"""
+
+PY_BUSY_SNIPPET = r"""
+import json, sys, time, multiprocessing as mp
+def burn(n):
+    x = 0
+    for i in range(n):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+if __name__ == "__main__":
+    procs = {cores}
+    n = 120_000_000
+    t0 = time.monotonic()
+    with mp.Pool(procs) as p:
+        p.map(burn, [n] * procs)
+    secs = time.monotonic() - t0
+    print("PY_RESULT " + json.dumps(
+        {{"cores": procs, "rate": procs * n / secs}}))
+"""
+
+
+def _run_snippet(code: str, tag: str) -> dict:
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith(tag + " "):
+            return json.loads(line[len(tag) + 1:])
+    raise RuntimeError(f"no {tag}:\n{out.stderr[-2000:]}")
+
 
 def run_once(cores: int, sf_dir: str, replication: int) -> dict:
-    code = RUN_SNIPPET.format(
-        repo=REPO, cores=cores, sf_dir=sf_dir, replication=replication
+    return _run_snippet(
+        RUN_SNIPPET.format(repo=REPO, cores=cores, sf_dir=sf_dir,
+                           replication=replication),
+        "SCALING_RESULT",
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("SCALING_RESULT "):
-            return json.loads(line[len("SCALING_RESULT "):])
-    raise RuntimeError(f"no result from cores={cores}:\n{out.stderr[-2000:]}")
+
+
+def calibrate(cores_pair: list[int], runs: int) -> dict:
+    """Hardware ceiling at each parallelism level: best-of-K of a pure
+    Python busy loop (host capacity, no JVM) and a pure-ALU Spark job
+    (JVM thread-scaling ceiling — the bound that applies to Tungsten
+    sort/codegen stages)."""
+    best: dict[str, dict[int, float]] = {"py_busy": {}, "jvm_alu": {}}
+    for _ in range(runs):
+        for c in cores_pair:
+            r = _run_snippet(PY_BUSY_SNIPPET.format(cores=c), "PY_RESULT")
+            best["py_busy"][c] = max(best["py_busy"].get(c, 0.0), r["rate"])
+            a = _run_snippet(ALU_SNIPPET.format(repo=REPO, cores=c), "ALU_RESULT")
+            best["jvm_alu"][c] = max(best["jvm_alu"].get(c, 0.0), 1.0 / a["secs"])
+    n, n4 = cores_pair
+    ratio = n4 / n
+    return {
+        "py_busy_eff": round(best["py_busy"][n4] / best["py_busy"][n] / ratio, 3),
+        "jvm_alu_eff": round(best["jvm_alu"][n4] / best["jvm_alu"][n] / ratio, 3),
+    }
 
 
 def main() -> None:
@@ -78,6 +157,7 @@ def main() -> None:
     ap.add_argument("--replication", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cores", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--calibrate", action="store_true")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -95,12 +175,14 @@ def main() -> None:
             r = run_once(cores, args.sf_dir, args.replication)
             thr = r["n_docs"] / r["secs"]
             print(f"cores={cores} run={i} {r['secs']:.1f}s "
-                  f"{thr:.0f} docs/s", file=sys.stderr, flush=True)
+                  f"{thr:.0f} docs/s steal={r['steal_cores']}",
+                  file=sys.stderr, flush=True)
             best = results.get(cores)
             if best is None or thr > best["docs_per_sec"]:
                 results[cores] = {"cores": cores, "secs": round(r["secs"], 2),
                                   "n_docs": r["n_docs"],
-                                  "docs_per_sec": round(thr, 1)}
+                                  "docs_per_sec": round(thr, 1),
+                                  "steal_cores": r["steal_cores"]}
 
     n, n4 = args.cores
     eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / (n4 / n)
@@ -117,27 +199,50 @@ def main() -> None:
         "runs_per_config": args.runs,
         "selection": "best-of-K throughput per config (noisy shared box)",
     }
+    if args.calibrate:
+        cal = calibrate(args.cores, max(2, args.runs - 1))
+        summary["hardware_ceiling"] = cal
+        hw = max(cal["py_busy_eff"], cal["jvm_alu_eff"])
+        summary["software_efficiency"] = round(min(eff / hw, 1.0), 3)
     print(json.dumps(summary))
 
     if args.update_baseline:
-        section = (
-            "## BENCH — measured scaling evidence (north_rule N vs 4N)\n\n"
+        lines = [
+            f"## BENCH — measured scaling evidence (north_rule N vs 4N)\n",
             "Same index-build job, same input "
             f"({summary['n_cores']['n_docs']} docs synthesized from "
             f"`{args.sf_dir}` at replication {args.replication}), two "
             "parallelism levels, fresh JVM each (best of "
-            f"{args.runs} runs):\n\n"
-            "| config | wall (s) | throughput (docs/s) |\n|---|---|---|\n"
+            f"{args.runs} interleaved runs; per-run hypervisor steal "
+            "recorded from /proc/stat):\n",
+            "| config | wall (s) | throughput (docs/s) | steal (cores) |",
+            "|---|---|---|---|",
             f"| local[{n}] | {results[n]['secs']} | "
-            f"{results[n]['docs_per_sec']} |\n"
+            f"{results[n]['docs_per_sec']} | {results[n]['steal_cores']} |",
             f"| local[{n4}] | {results[n4]['secs']} | "
-            f"{results[n4]['docs_per_sec']} |\n\n"
+            f"{results[n4]['docs_per_sec']} | {results[n4]['steal_cores']} |\n",
             f"Throughput ratio {summary['throughput_ratio']}x over a "
             f"{int(n4 / n)}x core ratio → **scaling efficiency "
             f"{summary['scaling_efficiency']}** "
-            f"({'meets' if eff >= 0.8 else 'below'} the >=0.8 target).\n"
-            "Regenerate: `python tools/scaling_bench.py --update-baseline`.\n"
-        )
+            f"({'meets' if eff >= 0.8 else 'below'} the >=0.8 target).",
+        ]
+        if args.calibrate:
+            cal = summary["hardware_ceiling"]
+            lines += [
+                "",
+                "Hardware calibration at the same two parallelism levels "
+                "(best-of-K): a pure Python busy loop (no JVM) scales at "
+                f"**{cal['py_busy_eff']}** efficiency and a pure-ALU Spark "
+                "job (range → xxhash64 chain → sum; no shuffle, no Python) "
+                f"at **{cal['jvm_alu_eff']}** — that is the most this host "
+                "can deliver for ANY workload at this core pair. "
+                f"Software efficiency (build / hardware ceiling): "
+                f"**{summary['software_efficiency']}**.",
+            ]
+        lines.append(
+            "Regenerate: `python tools/scaling_bench.py --calibrate "
+            "--update-baseline`.\n")
+        section = "\n".join(lines)
         path = os.path.join(REPO, "BASELINE.md")
         with open(path) as f:
             text = f.read()
