@@ -188,46 +188,46 @@ def token_rows(pages: DataFrame) -> DataFrame:
 
 
 def token_rows_with_doc(pages: DataFrame) -> DataFrame:
-    """pages → exploded token instances with the doc's identity (url
-    [, warc_ts]) carried ONLY on its first token row (pos 0) — the
+    """pages → exploded token instances (doc_id, doc_len, term) with the
+    doc's FIRST row (pos 0) marked by storing ``-doc_len - 1`` — the
     single-pass build: one tokenize, one shuffle, and the pack kernel
-    emits both posting rows and doc-table rows from the same stream.
+    emits both posting rows and doc-table rows from the same stream
+    (restoring doc_len from the marker; doc identity — url, warc_ts —
+    is re-attached at docs-write time by a column-pruned pages join, so
+    the big shuffle carries only 3 narrow columns).
 
-    posexplode_outer keeps zero-token docs (a null-term row with url set)
-    so the docs table matches doc_rows_fast() exactly. The carried url
-    costs ~one pointer per token row in the shuffle (null except at
-    pos 0) — far cheaper than the second full-tokenize pass it replaces.
+    posexplode_outer keeps zero-token docs (a null-term marker row with
+    doc_len = -1) so the docs table still records them.
     """
-    has_ts = "warc_ts" in pages.columns
-    cols = [
-        F.xxhash64("url").alias("doc_id"),
-        F.col("url"),
-        tokens_column(F.col("url"), F.col("text")).alias("toks"),
-    ]
-    if has_ts:
-        cols.append(F.col("warc_ts"))
     is_first = F.col("pos").isNull() | (F.col("pos") == 0)
+    sz = F.greatest(F.col("_toksz"), F.lit(0))
     return (
-        pages.select(*cols)
+        pages.select(
+            F.xxhash64("url").alias("doc_id"),
+            tokens_column(F.col("url"), F.col("text")).alias("toks"),
+        )
         .select(
             "doc_id",
             F.size("toks").alias("_toksz"),
             F.posexplode_outer("toks").alias("pos", "term"),
-            "url",
-            *(["warc_ts"] if has_ts else []),
         )
         .select(
             "doc_id",
-            F.greatest(F.col("_toksz"), F.lit(0)).alias("doc_len"),
+            F.when(is_first, -sz - 1).otherwise(sz).alias("doc_len"),
             "term",
-            F.when(is_first, F.col("url")).alias("url"),
-            *(
-                [F.when(is_first, F.col("warc_ts")).alias("warc_ts")]
-                if has_ts
-                else []
-            ),
         )
     )
+
+
+def doc_attrs(pages: DataFrame) -> DataFrame:
+    """pages → (doc_id, url[, warc_ts]) — the column-pruned projection
+    the single-pass build joins onto kernel-emitted doc rows; never
+    touches the text column (Parquet column pruning keeps this scan
+    orders of magnitude cheaper than a tokenize pass)."""
+    cols = [F.xxhash64("url").alias("doc_id"), F.col("url")]
+    if "warc_ts" in pages.columns:
+        cols.append(F.col("warc_ts"))
+    return pages.select(*cols)
 
 
 def doc_rows_fast(pages: DataFrame) -> DataFrame:

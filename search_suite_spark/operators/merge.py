@@ -127,5 +127,7 @@ def merge_segments(
 
     # write_terms=True: the merge covers the whole segment in one pass,
     # so the dictionary comes from the persisted packed frame directly
-    pack_and_write(spark, flat, docs, dest_dir, n_tbuckets, write_terms=True)
+    pack_and_write(
+        spark, flat, docs, dest_dir, n_shards, n_tbuckets, write_terms=True
+    )
     return read_segment(spark, dest_dir)

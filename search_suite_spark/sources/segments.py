@@ -41,12 +41,12 @@ import time
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_suite_spark.operators.build import (
     dedupe_newest_wins,
+    doc_attrs as doc_attrs_projection,
     token_rows_with_doc,
 )
 from search_suite_spark.operators.codec import pack_posting_list
@@ -59,186 +59,43 @@ PACKED_SCHEMA = (
 )
 
 # the pack kernel's full output: posting rows (term set, doc fields null)
-# interleaved with doc-table rows (term null, doc fields set) — the
-# single-pass build derives BOTH tables from one tokenize+shuffle job
-PACK_STREAM_SCHEMA = (
-    PACKED_SCHEMA + ", doc_id long, url string, doc_len int, warc_ts timestamp"
-)
+# interleaved with doc-table rows (term null, doc_id/doc_len set) — the
+# single-pass build derives BOTH tables from one tokenize+shuffle job;
+# doc identity (url, warc_ts) is joined back from a column-pruned pages
+# projection at docs-write time, so neither the shuffle nor the Arrow
+# boundary ever carries a url
+PACK_STREAM_SCHEMA = PACKED_SCHEMA + ", doc_id long, doc_len int"
 
 LINEAGE_SCHEMA = (
     "shard int, n_docs long, total_doc_len long, n_terms long, "
     "n_postings long, packed_bytes long, ms long"
 )
 
-
-def _u64_to_i64(vals) -> list[int]:
-    return np.asarray(vals, dtype=np.uint64).view(np.int64).tolist()
-
-
-_PACK_COLS = [
-    "term", "shard", "n", "ids", "tfs", "dls", "ids_offs", "tfs_offs",
-    "dls_offs", "block_last", "block_max_tf", "block_min_dl",
-    "block_min_tf", "block_max_dl", "doc_id", "url", "doc_len", "warc_ts",
-]
-
-
-def _doc_rows_out(pdf: pd.DataFrame, has_ts: bool) -> pd.DataFrame | None:
-    """Extract doc-table rows from a chunk: rows whose url is set (the
-    pos-0 token row of each doc, or the null-term row of a 0-token doc).
-    Emitted once per doc — every input row passes through exactly one
-    chunk."""
-    mask = pdf["url"].notna()
-    if not mask.any():
-        return None
-    d = pdf.loc[mask, ["doc_id", "url", "doc_len", "shard"]]
-    out = pd.DataFrame(
-        {
-            "term": pd.array([None] * len(d), dtype=object),
-            "shard": d["shard"].to_numpy(dtype=np.int32),
-            "n": pd.array([None] * len(d), dtype="Int64"),
-            "doc_id": d["doc_id"].to_numpy(dtype=np.int64),
-            "url": d["url"].to_numpy(dtype=object),
-            "doc_len": d["doc_len"].to_numpy(dtype=np.int32),
-            "warc_ts": (
-                pdf.loc[mask, "warc_ts"].to_numpy()
-                if has_ts
-                else pd.Series([pd.NaT] * len(d), dtype="datetime64[ns]")
-            ),
-        }
-    )
-    for c in ("ids", "tfs", "dls", "ids_offs", "tfs_offs", "dls_offs",
-              "block_last", "block_max_tf", "block_min_dl", "block_min_tf",
-              "block_max_dl"):
-        out[c] = pd.array([None] * len(d), dtype=object)
-    return out[_PACK_COLS]
-
-
-def _pack_chunk(pdf: pd.DataFrame, has_tf: bool) -> list[pd.DataFrame]:
-    """Pack a chunk of rows pre-sorted by (shard, term, uint64 doc_id).
-
-    The chunk contains only COMPLETE (shard, term) groups (the streaming
-    wrapper guarantees it). tf is run-length counted here when the input
-    is raw token instances (has_tf=False) — all instances of a (doc,
-    term) pair are adjacent after the JVM sort. When the chunk carries
-    doc identity (single-pass build), doc-table rows are emitted too (as
-    a separate frame — Arrow batches need not be homogeneous).
-    """
-    parts: list[pd.DataFrame] = []
-    if "url" in pdf.columns:
-        docs_out = _doc_rows_out(pdf, has_ts="warc_ts" in pdf.columns)
-        if docs_out is not None:
-            parts.append(docs_out)
-        if pdf["term"].isna().any():  # 0-token docs contribute no postings
-            pdf = pdf[pdf["term"].notna()]
-        if not len(pdf):
-            return parts
-
-    sh = pdf["shard"].to_numpy(dtype=np.int64)
-    terms = pdf["term"].to_numpy()
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64).view(np.uint64)
-    dls = pdf["doc_len"].to_numpy(dtype=np.int64).astype(np.uint64)
-
-    new_group = np.concatenate(
-        ([True], (sh[1:] != sh[:-1]) | (terms[1:] != terms[:-1]))
-    )
-    if has_tf:
-        tfs = pdf["tf"].to_numpy(dtype=np.int64).astype(np.uint64)
-    else:
-        new_doc = new_group.copy()
-        new_doc[1:] |= ids[1:] != ids[:-1]
-        starts = np.flatnonzero(new_doc)
-        tfs = np.diff(np.append(starts, ids.size)).astype(np.uint64)
-        ids, dls = ids[starts], dls[starts]
-        sh, terms, new_group = sh[starts], terms[starts], new_group[starts]
-
-    gstarts = np.flatnonzero(new_group)
-    bounds = np.append(gstarts, ids.size)
-    rows = []
-    for i in range(gstarts.size):
-        s, e = bounds[i], bounds[i + 1]
-        p = pack_posting_list(ids[s:e], tfs[s:e], dls[s:e], presorted=True)
-        rows.append(
-            {
-                "term": terms[s],
-                "shard": int(sh[s]),
-                "n": p["n"],
-                "ids": p["ids"],
-                "tfs": p["tfs"],
-                "dls": p["dls"],
-                "ids_offs": p["ids_offs"],
-                "tfs_offs": p["tfs_offs"],
-                "dls_offs": p["dls_offs"],
-                "block_last": _u64_to_i64(p["block_last"]),
-                "block_max_tf": [int(x) for x in p["block_max_tf"]],
-                "block_min_dl": [int(x) for x in p["block_min_dl"]],
-                "block_min_tf": [int(x) for x in p["block_min_tf"]],
-                "block_max_dl": [int(x) for x in p["block_max_dl"]],
-            }
-        )
-    pack_df = pd.DataFrame(rows)
-    for c in ("doc_id", "url", "doc_len", "warc_ts"):
-        pack_df[c] = pd.array([None] * len(pack_df), dtype=object)
-    parts.append(pack_df[_PACK_COLS])
-    return parts
-
-
-def _pack_stream(has_tf: bool):
-    """mapInPandas packer over a partition pre-sorted by
-    (shard, term, uint64(doc_id)) — the build's ONLY Python
-    stage, and it does no sorting at all.
-
-    Design (vs an applyInPandas-per-group kernel): the heavy work — the
-    shuffle and the (term, doc_id) sort — happens JVM-side in Tungsten,
-    where it scales linearly with cores; Python only run-length-counts tf
-    and varbyte-packs, streaming one Arrow batch at a time. A group that
-    straddles batch boundaries is carried over (the carry is bounded by
-    one posting list = df(term)/n_shards rows — the doc-hash shard bound
-    on stop-word skew).
-    """
-
-    def go(batches):
-        pend: pd.DataFrame | None = None
-        for pdf in batches:
-            if pend is not None and len(pend):
-                pdf = pd.concat([pend, pdf], ignore_index=True)
-                pend = None
-            if not len(pdf):
-                continue
-            sh = pdf["shard"].to_numpy(dtype=np.int64)
-            terms = pdf["term"].to_numpy()
-            change = np.flatnonzero(
-                (sh[1:] != sh[:-1]) | (terms[1:] != terms[:-1])
-            )
-            if change.size == 0:
-                pend = pdf  # one (possibly giant) group continues
-                continue
-            cut = int(change[-1]) + 1
-            pend = pdf.iloc[cut:]
-            for out in _pack_chunk(pdf.iloc[:cut], has_tf):
-                if len(out):
-                    yield out
-        if pend is not None and len(pend):
-            for out in _pack_chunk(pend, has_tf):
-                if len(out):
-                    yield out
-
-    return go
-
-
 _U64_SIGN_FLIP = -(1 << 63)  # XOR flips int64 order into uint64 order
 
 
-def _pack_stream_arrow(has_tf: bool):
-    """mapInArrow packer — same contract as _pack_stream (rows pre-sorted
-    by (shard, term, uint64 doc_id); complete groups per chunk; doc rows
-    carried on url-bearing rows) but with ZERO per-row or per-group
-    Python: group boundaries come from pyarrow C++ compare kernels, tf
-    run-length counting and the varbyte pack are whole-chunk numpy
-    (codec.run_length_by_doc / codec.pack_many), term values never
-    materialize as Python strings (pc.take keeps them in Arrow), and the
-    packed binary/list columns are assembled zero-copy from one buffer
-    per column. The pandas kernel (_pack_stream) is kept as the golden
-    reference implementation for tests.
+def _pack_stream_arrow(has_tf: bool, n_shards: int):
+    """mapInArrow packer over a partition pre-sorted by
+    (shard, term, uint64 doc_id) — the build's ONLY Python stage, and it
+    does no sorting at all.
+
+    Input rows are narrow on purpose (build: doc_id, doc_len, term;
+    merge: + tf) — the shard column is NOT shipped across the Arrow
+    boundary; the kernel recomputes ``shard = pmod(doc_id, n_shards)``
+    (numpy ``%`` matches Spark pmod on int64). The build path marks each
+    doc's first token row by storing ``-doc_len - 1`` (see
+    build.token_rows_with_doc); the kernel restores doc_len and emits one
+    doc-table row per marker — exactly once, since every input row
+    passes through exactly one chunk.
+
+    ZERO per-row or per-group Python: group boundaries come from pyarrow
+    C++ compare kernels, tf run-length counting and the varbyte pack are
+    whole-chunk numpy (codec.run_length_by_doc / codec.pack_many), term
+    values never materialize as Python strings (pc.take keeps them in
+    Arrow), and the packed binary/list columns are assembled zero-copy
+    from one buffer per column. A group that straddles batch boundaries
+    is carried over (the carry is bounded by one posting list =
+    df(term)/n_shards rows — the doc-hash shard bound on stop-word skew).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -247,10 +104,6 @@ def _pack_stream_arrow(has_tf: bool):
 
     def batch_to_output(t: pa.Table) -> list[pa.RecordBatch]:
         n = t.num_rows
-        cols = set(t.column_names)
-        has_doc = "url" in cols
-        has_ts = "warc_ts" in cols
-        ts_type = t.schema.field("warc_ts").type if has_ts else pa.timestamp("us")
         out: list[pa.RecordBatch] = []
 
         def arr(name):
@@ -258,9 +111,9 @@ def _pack_stream_arrow(has_tf: bool):
             return c.chunk(0) if c.num_chunks == 1 else c.combine_chunks()
 
         term_a = arr("term")
-        sh = np.asarray(arr("shard"), dtype=np.int64)
         ids = np.asarray(arr("doc_id"), dtype=np.int64)
         dls = np.asarray(arr("doc_len"), dtype=np.int64)
+        sh = ids % n_shards  # == Spark pmod(doc_id, n_shards)
 
         def schema_batch(kind_arrays: dict) -> pa.RecordBatch:
             fields, arrays = [], []
@@ -275,8 +128,7 @@ def _pack_stream_arrow(has_tf: bool):
                 ("block_min_dl", pa.list_(pa.int64())),
                 ("block_min_tf", pa.list_(pa.int64())),
                 ("block_max_dl", pa.list_(pa.int64())),
-                ("doc_id", pa.int64()), ("url", pa.string()),
-                ("doc_len", pa.int32()), ("warc_ts", ts_type),
+                ("doc_id", pa.int64()), ("doc_len", pa.int32()),
             ):
                 fields.append(pa.field(name, typ))
                 a = kind_arrays.get(name)
@@ -285,21 +137,18 @@ def _pack_stream_arrow(has_tf: bool):
                 arrays.append(a)
             return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
-        if has_doc:
-            url_a = arr("url")
-            doc_mask = url_a.is_valid()
-            n_docs = int(pc.sum(doc_mask).as_py() or 0)
-            if n_docs:
-                mask_np = np.asarray(doc_mask)
+        if not has_tf:
+            # doc-marker rows: doc_len stored as -(len)-1 on pos-0 rows
+            doc_mask = dls < 0
+            if doc_mask.any():
                 out.append(schema_batch({
-                    "__len__": n_docs,
-                    "shard": pa.array(sh[mask_np].astype(np.int32)),
-                    "doc_id": pa.array(ids[mask_np]),
-                    "url": pc.filter(url_a, doc_mask),
-                    "doc_len": pa.array(dls[mask_np].astype(np.int32)),
-                    **({"warc_ts": pc.filter(arr("warc_ts"), doc_mask)}
-                       if has_ts else {}),
+                    "__len__": int(doc_mask.sum()),
+                    "shard": pa.array(sh[doc_mask].astype(np.int32)),
+                    "doc_id": pa.array(ids[doc_mask]),
+                    "doc_len": pa.array(
+                        (-dls[doc_mask] - 1).astype(np.int32)),
                 }))
+                dls = np.where(doc_mask, -dls - 1, dls)
             # 0-token docs (null term) contribute no postings
             if term_a.null_count:
                 keep = term_a.is_valid()
@@ -365,7 +214,7 @@ def _pack_stream_arrow(has_tf: bool):
         return out
 
     def go(batches):
-        pend: pa.Table | None = None
+        pend = None
         for rb in batches:
             t = pa.Table.from_batches([rb])
             if pend is not None:
@@ -375,8 +224,9 @@ def _pack_stream_arrow(has_tf: bool):
             if n == 0:
                 continue
             term_c = t.column("term")
-            term_a = term_c.chunk(0) if term_c.num_chunks == 1 else term_c.combine_chunks()
-            sh = np.asarray(t.column("shard"), dtype=np.int64)
+            term_a = (term_c.chunk(0) if term_c.num_chunks == 1
+                      else term_c.combine_chunks())
+            sh = np.asarray(t.column("doc_id"), dtype=np.int64) % n_shards
             # a group ends where shard changes, term value changes, or
             # term validity flips (null-term doc rows sort first)
             neq_vals = pc.fill_null(
@@ -447,21 +297,26 @@ def pack_and_write(
     flat: DataFrame,
     docs: DataFrame | None,
     seg_dir: str,
+    n_shards: int,
     n_tbuckets: int = 64,
     shards: list[int] | None = None,
     mode: str = "overwrite",
     write_terms: bool = False,
+    doc_attrs: DataFrame | None = None,
 ) -> None:
     """Pack flat postings (+ docs rows) into segment tables under seg_dir
     and append per-shard lineage.
 
     ``flat`` is either pre-counted posting rows (term, shard, doc_id, tf,
     doc_len) — the merge path, with ``docs`` supplied separately — or raw
-    token instances (term, shard, doc_id, doc_len, url[, warc_ts]) from
+    marker-carrying token instances (doc_id, doc_len, term, shard) from
     token_rows_with_doc, in which case ``docs=None``: tf is run-length
-    counted inside the pack kernel and the docs table is emitted from the
-    SAME stream — one tokenize, one shuffle for the whole build (the
-    second full-tokenize docs pass measurably broke core scaling).
+    counted inside the pack kernel, the docs table's (doc_id, doc_len,
+    shard) rows are emitted from the SAME stream (one tokenize, one
+    shuffle for the whole build — a second full-tokenize docs pass
+    measurably broke core scaling), and ``doc_attrs`` (doc_id, url
+    [, warc_ts] from build.doc_attrs) is joined on to restore doc
+    identity — a column-pruned scan, never a tokenize.
     ``shards`` restricts the lineage computation to a batch (resume
     granularity).
     """
@@ -470,11 +325,12 @@ def pack_and_write(
     lineage_path = os.path.join(seg_dir, "lineage")
     t0 = time.monotonic()
 
-    kernel = _pack_stream_arrow(has_tf="tf" in flat.columns)
+    has_tf = "tf" in flat.columns
+    kernel = _pack_stream_arrow(has_tf=has_tf, n_shards=n_shards)
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     single_pass = docs is None
-    if single_pass and "url" not in flat.columns:
-        raise ValueError("single-pass pack needs url-carrying flat rows")
+    if single_pass and doc_attrs is None:
+        raise ValueError("single-pass pack needs a doc_attrs projection")
     # persist the packed frame: it is the *compressed* index (orders of
     # magnitude smaller than the flat postings) and every downstream
     # table — postings, docs (single-pass), lineage metrics, terms — is a
@@ -484,8 +340,16 @@ def pack_and_write(
     # postings_in_shard / n_tbuckets); tbucket is a pure partitioning
     # salt, so it is never materialized as a column — the sort only needs
     # (shard, term, uint64(doc_id)) to make groups adjacent, and the
-    # Python packer is then a pure streaming run-length pass.
+    # Python packer is then a pure streaming run-length pass. The shard
+    # column itself is projected away before the Arrow boundary (the
+    # kernel re-derives it from doc_id), keeping the per-row
+    # serialization cost to the three columns the kernel actually needs.
     tbucket = F.pmod(F.xxhash64("term"), F.lit(n_tbuckets))
+    arrow_cols = (
+        ["term", "doc_id", "tf", "doc_len"]
+        if has_tf
+        else ["doc_id", "doc_len", "term"]
+    )
     packed = (
         flat.repartition(npart, F.col("shard"), tbucket)
         .sortWithinPartitions(
@@ -493,6 +357,7 @@ def pack_and_write(
             "term",
             F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)),
         )
+        .select(*arrow_cols)
         .mapInArrow(kernel, PACK_STREAM_SCHEMA)
         .persist()
     )
@@ -503,10 +368,8 @@ def pack_and_write(
             # table writes below are then cache scans
             packed.count()
             docs = packed.filter(is_doc_row).select(
-                "doc_id", "url", "doc_len", "warc_ts", "shard"
-            )
-            if "warc_ts" not in flat.columns:
-                docs = docs.drop("warc_ts")
+                "doc_id", "doc_len", "shard"
+            ).join(doc_attrs, "doc_id")
         postings_out = packed.filter(~is_doc_row).select(
             *[c.split(" ")[0] for c in PACKED_SCHEMA.split(", ")]
         )
@@ -682,11 +545,12 @@ def build_segment(
         batch = todo[i : i + shards_per_batch]
         bpages = sharded.filter(F.col("shard").isin(batch)).drop("shard")
         # ONE codegen'd pass straight from pages: the JVM tokenizer emits
-        # token instances with the doc identity carried on each doc's
-        # first row, so the pack shuffle feeds postings AND the docs
+        # token instances with each doc's first row marked (negative
+        # doc_len), so the pack shuffle feeds postings AND the docs
         # table — no second tokenize pass, no Python workers before the
         # pack kernel, no pre-count groupBy (tf is counted inside the
-        # pack kernel after the one shuffle)
+        # pack kernel after the one shuffle). Doc identity (url, warc_ts)
+        # is re-attached from a column-pruned pages projection.
         flat = token_rows_with_doc(bpages).withColumn(
             "shard", shard_of_doc_id(n_shards)
         )
@@ -695,8 +559,8 @@ def build_segment(
         # skew) and group count (per-group pack overhead)
         one_shot = not done and len(batch) == len(todo)
         pack_and_write(
-            spark, flat, None, seg_dir, n_tbuckets, shards=batch,
-            write_terms=one_shot,
+            spark, flat, None, seg_dir, n_shards, n_tbuckets, shards=batch,
+            write_terms=one_shot, doc_attrs=doc_attrs_projection(bpages),
         )
 
     if todo and not (not done and len(todo) <= shards_per_batch):

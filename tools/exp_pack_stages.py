@@ -10,13 +10,16 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from search_suite_spark.session import get_spark  # noqa: E402
 from search_suite_spark.sources.segments import (  # noqa: E402
-    PACK_STREAM_SCHEMA, _U64_SIGN_FLIP, _pack_stream, shard_of_doc_id,
+    PACK_STREAM_SCHEMA, _U64_SIGN_FLIP, _pack_stream_arrow, shard_of_doc_id,
 )
 from search_suite_spark.operators.build import token_rows_with_doc  # noqa: E402
 
 cores = int(sys.argv[1])
 which = sys.argv[2]
 spark = get_spark(app="exp", cores=cores, shuffle_partitions=max(cores, 8))
+ab = os.environ.get("PROF_ARROW_BATCH")
+if ab:
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", ab)
 pages = spark.read.parquet(os.environ["SCALING_STAGED_PAGES"] + "/pages")
 flat = token_rows_with_doc(pages).withColumn("shard", shard_of_doc_id(32))
 
@@ -39,7 +42,9 @@ else:
                          F.pmod(F.xxhash64("term"), F.lit(64)))
         .sortWithinPartitions("shard", "term",
                               F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)))
-        .mapInPandas(_pack_stream(has_tf=False), PACK_STREAM_SCHEMA)
+        .select("doc_id", "doc_len", "term")
+        .mapInArrow(_pack_stream_arrow(has_tf=False, n_shards=32),
+                    PACK_STREAM_SCHEMA)
     )
 df.write.format("noop").mode("overwrite").save()
 print(f"RESULT cores={cores} which={which} secs={time.monotonic()-t0:.2f}")

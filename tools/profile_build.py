@@ -29,7 +29,7 @@ from search_suite_spark.sources.segments import (
     PACKED_SCHEMA, PACK_STREAM_SCHEMA, _pack_stream_arrow, _U64_SIGN_FLIP,
     shard_of_doc_id,
 )
-from search_suite_spark.operators.build import token_rows_with_doc
+from search_suite_spark.operators.build import doc_attrs, token_rows_with_doc
 
 cores = {cores}
 spark = get_spark(app=f"profile_{{cores}}", cores=cores,
@@ -58,13 +58,14 @@ t = tick("count_input", t)
 
 flat = token_rows_with_doc(pages).withColumn("shard", shard_of_doc_id(n_shards))
 
-kernel = _pack_stream_arrow(has_tf=False)
+kernel = _pack_stream_arrow(has_tf=False, n_shards=n_shards)
 npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 packed = (
     flat.repartition(npart, F.col("shard"),
                      F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)))
     .sortWithinPartitions("shard", "term",
                           F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)))
+    .select("doc_id", "doc_len", "term")
     .mapInArrow(kernel, PACK_STREAM_SCHEMA)
     .persist()
 )
@@ -74,7 +75,7 @@ t = tick("tokenize_shuffle_pack", t)
 is_doc = F.col("term").isNull()
 postings_out = packed.filter(~is_doc).select(
     *[c.split(" ")[0] for c in PACKED_SCHEMA.split(", ")])
-docs_b = packed.filter(is_doc).select("doc_id", "url", "doc_len", "shard")
+docs_b = packed.filter(is_doc).select("doc_id", "doc_len", "shard").join(doc_attrs(pages), "doc_id")
 
 (postings_out.repartition("shard").sortWithinPartitions("term")
  .write.mode("overwrite").partitionBy("shard").parquet(seg_dir + "/postings"))

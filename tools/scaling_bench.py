@@ -113,24 +113,34 @@ if __name__ == "__main__":
 """
 
 
-def _run_snippet(code: str, tag: str) -> dict:
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=3600)
+def _run_snippet(code: str, tag: str, pin_cores: int | None = None) -> dict:
+    """Run a snippet in a fresh process; with ``pin_cores`` the process
+    (JVM + pyspark workers, which inherit CPU affinity) is pinned to that
+    many CPUs via taskset — making local[N] behave like an N-core
+    cluster node. Unpinned, Python workers ride on host cores OUTSIDE
+    the local[N] budget, inflating low-core throughput and understating
+    the true N -> 4N ratio."""
+    cmd = [sys.executable, "-c", code]
+    if pin_cores:
+        cmd = ["taskset", "-c", f"0-{pin_cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith(tag + " "):
             return json.loads(line[len(tag) + 1:])
     raise RuntimeError(f"no {tag}:\n{out.stderr[-2000:]}")
 
 
-def run_once(cores: int, sf_dir: str, replication: int) -> dict:
+def run_once(cores: int, sf_dir: str, replication: int,
+             pin: bool = True) -> dict:
     return _run_snippet(
         RUN_SNIPPET.format(repo=REPO, cores=cores, sf_dir=sf_dir,
                            replication=replication),
         "SCALING_RESULT",
+        pin_cores=cores if pin else None,
     )
 
 
-def calibrate(cores_pair: list[int], runs: int) -> dict:
+def calibrate(cores_pair: list[int], runs: int, pin: bool = True) -> dict:
     """Hardware ceiling at each parallelism level: best-of-K of a pure
     Python busy loop (host capacity, no JVM) and a pure-ALU Spark job
     (JVM thread-scaling ceiling — the bound that applies to Tungsten
@@ -138,9 +148,12 @@ def calibrate(cores_pair: list[int], runs: int) -> dict:
     best: dict[str, dict[int, float]] = {"py_busy": {}, "jvm_alu": {}}
     for _ in range(runs):
         for c in cores_pair:
-            r = _run_snippet(PY_BUSY_SNIPPET.format(cores=c), "PY_RESULT")
+            p = c if pin else None
+            r = _run_snippet(PY_BUSY_SNIPPET.format(cores=c), "PY_RESULT",
+                             pin_cores=p)
             best["py_busy"][c] = max(best["py_busy"].get(c, 0.0), r["rate"])
-            a = _run_snippet(ALU_SNIPPET.format(repo=REPO, cores=c), "ALU_RESULT")
+            a = _run_snippet(ALU_SNIPPET.format(repo=REPO, cores=c),
+                             "ALU_RESULT", pin_cores=p)
             best["jvm_alu"][c] = max(best["jvm_alu"].get(c, 0.0), 1.0 / a["secs"])
     n, n4 = cores_pair
     ratio = n4 / n
@@ -158,12 +171,15 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cores", type=int, nargs=2, default=[8, 32])
     ap.add_argument("--calibrate", action="store_true")
+    ap.add_argument("--no-pin", action="store_true",
+                    help="do not taskset-pin runs to N CPUs")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
     # stage the corpus once, shared by every run
+    pin = not args.no_pin
     os.environ.pop("SCALING_STAGED_PAGES", None)
-    first = run_once(args.cores[0], args.sf_dir, args.replication)
+    first = run_once(args.cores[0], args.sf_dir, args.replication, pin=pin)
     os.environ["SCALING_STAGED_PAGES"] = first["staged"]
     print(f"staged pages at {first['staged']}", file=sys.stderr, flush=True)
 
@@ -172,7 +188,7 @@ def main() -> None:
     results: dict[int, dict] = {}
     for i in range(args.runs):
         for cores in args.cores:
-            r = run_once(cores, args.sf_dir, args.replication)
+            r = run_once(cores, args.sf_dir, args.replication, pin=pin)
             thr = r["n_docs"] / r["secs"]
             print(f"cores={cores} run={i} {r['secs']:.1f}s "
                   f"{thr:.0f} docs/s steal={r['steal_cores']}",
@@ -198,9 +214,10 @@ def main() -> None:
         "replication": args.replication,
         "runs_per_config": args.runs,
         "selection": "best-of-K throughput per config (noisy shared box)",
+        "pinned": pin,
     }
     if args.calibrate:
-        cal = calibrate(args.cores, max(2, args.runs - 1))
+        cal = calibrate(args.cores, max(2, args.runs - 1), pin=pin)
         summary["hardware_ceiling"] = cal
         hw = max(cal["py_busy_eff"], cal["jvm_alu_eff"])
         summary["software_efficiency"] = round(min(eff / hw, 1.0), 3)
