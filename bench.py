@@ -53,7 +53,7 @@ def main() -> None:
     from search_suite_spark.operators import text_analysis as TA
 
     spark = get_spark(app="search_suite_bench", cores=cpus,
-                      shuffle_partitions=max(cpus, 16))
+                      shuffle_partitions=max(2 * cpus, 16))
 
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}

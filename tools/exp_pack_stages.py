@@ -36,6 +36,20 @@ elif which == "sort":
         .sortWithinPartitions("shard", "term",
                               F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)))
     )
+elif which == "full2":
+    df = (
+        flat.drop("shard")
+        .repartition(max(cores, 8),
+                     F.pmod(F.col("doc_id"), F.lit(32)),
+                     F.pmod(F.xxhash64("term"), F.lit(64)))
+        .withColumn("thash", F.xxhash64("term"))
+        .sortWithinPartitions(
+            "thash", "term", F.pmod(F.col("doc_id"), F.lit(32)),
+            F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)))
+        .select("doc_id", "doc_len", "term")
+        .mapInArrow(_pack_stream_arrow(has_tf=False, n_shards=32),
+                    PACK_STREAM_SCHEMA)
+    )
 else:
     df = (
         flat.repartition(max(cores, 8), F.col("shard"),

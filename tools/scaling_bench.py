@@ -51,7 +51,7 @@ def steal():
 
 cores = {cores}
 spark = get_spark(app=f"scaling_{{cores}}", cores=cores,
-                  shuffle_partitions=max(cores, 8))
+                  shuffle_partitions=max(2 * cores, 16))
 # stage the synthesized corpus as a parquet input ONCE (untimed): the
 # build must read a real on-storage input, not a driver-managed cache —
 # a cached frame gets evicted under build memory pressure and silently
@@ -92,6 +92,27 @@ df.select(F.sum(F.shiftright(c, 32))).collect()
 secs = time.monotonic() - t0
 print("ALU_RESULT " + json.dumps({{"cores": cores, "secs": secs}}))
 spark.stop()
+"""
+
+MEM_BW_SNIPPET = r"""
+import json, sys, time, multiprocessing as mp
+import numpy as np
+def burn(_):
+    a = np.empty(200_000_000 // 8, dtype=np.int64)  # 200MB
+    a[:] = 7
+    t0 = time.monotonic(); total = 0
+    while time.monotonic() - t0 < 10:
+        b = a.copy()          # read+write 400MB per iteration
+        total += b.nbytes * 2
+        del b
+    return total
+if __name__ == "__main__":
+    procs = {cores}
+    t0 = time.monotonic()
+    with mp.Pool(procs) as p:
+        res = p.map(burn, range(procs))
+    dt = time.monotonic() - t0
+    print("MEM_RESULT " + json.dumps({{"cores": procs, "bw": sum(res) / dt}}))
 """
 
 PY_BUSY_SNIPPET = r"""
@@ -145,7 +166,8 @@ def calibrate(cores_pair: list[int], runs: int, pin: bool = True) -> dict:
     Python busy loop (host capacity, no JVM) and a pure-ALU Spark job
     (JVM thread-scaling ceiling — the bound that applies to Tungsten
     sort/codegen stages)."""
-    best: dict[str, dict[int, float]] = {"py_busy": {}, "jvm_alu": {}}
+    best: dict[str, dict[int, float]] = {
+        "py_busy": {}, "jvm_alu": {}, "mem_bw": {}}
     for _ in range(runs):
         for c in cores_pair:
             p = c if pin else None
@@ -155,11 +177,17 @@ def calibrate(cores_pair: list[int], runs: int, pin: bool = True) -> dict:
             a = _run_snippet(ALU_SNIPPET.format(repo=REPO, cores=c),
                              "ALU_RESULT", pin_cores=p)
             best["jvm_alu"][c] = max(best["jvm_alu"].get(c, 0.0), 1.0 / a["secs"])
+            m = _run_snippet(MEM_BW_SNIPPET.format(cores=c), "MEM_RESULT",
+                             pin_cores=p)
+            best["mem_bw"][c] = max(best["mem_bw"].get(c, 0.0), m["bw"])
     n, n4 = cores_pair
     ratio = n4 / n
     return {
         "py_busy_eff": round(best["py_busy"][n4] / best["py_busy"][n] / ratio, 3),
         "jvm_alu_eff": round(best["jvm_alu"][n4] / best["jvm_alu"][n] / ratio, 3),
+        "mem_bw_eff": round(best["mem_bw"][n4] / best["mem_bw"][n] / ratio, 3),
+        "mem_bw_gbps": {str(c): round(best["mem_bw"][c] / 1e9, 1)
+                        for c in cores_pair},
     }
 
 
@@ -248,13 +276,20 @@ def main() -> None:
             lines += [
                 "",
                 "Hardware calibration at the same two parallelism levels "
-                "(best-of-K): a pure Python busy loop (no JVM) scales at "
-                f"**{cal['py_busy_eff']}** efficiency and a pure-ALU Spark "
-                "job (range → xxhash64 chain → sum; no shuffle, no Python) "
-                f"at **{cal['jvm_alu_eff']}** — that is the most this host "
-                "can deliver for ANY workload at this core pair. "
-                f"Software efficiency (build / hardware ceiling): "
-                f"**{summary['software_efficiency']}**.",
+                "(best-of-K): pure Python busy loop (compute, no JVM) "
+                f"**{cal['py_busy_eff']}**, pure-ALU Spark job (JVM "
+                f"compute, no shuffle/Python) **{cal['jvm_alu_eff']}**, "
+                "DRAM bandwidth (parallel numpy copies) "
+                f"**{cal['mem_bw_eff']}** "
+                f"(aggregate {cal['mem_bw_gbps']} GB/s) — the most this "
+                "host can deliver for compute-bound resp. bandwidth-bound "
+                "work at this core pair. A sort/shuffle/encode pipeline "
+                "like the index build is bandwidth-heavy, so the binding "
+                "ceiling sits between the bandwidth and compute numbers; "
+                "on a real cluster 4N executors bring 4N x DRAM "
+                "bandwidth, so the bound that limits this box scales "
+                "away with the cluster. Software efficiency (build / "
+                f"compute ceiling): **{summary['software_efficiency']}**.",
             ]
         lines.append(
             "Regenerate: `python tools/scaling_bench.py --calibrate "
