@@ -41,6 +41,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUN_SNIPPET = r"""
 import json, os, sys, time, tempfile, shutil
 sys.path.insert(0, {repo!r})
+# small heap on purpose: this sandbox host only backs ~8-10 GB of hot
+# guest pages before collapsing to ~0.5 GB/s (see the hot-set
+# calibration in BASELINE.md); a 16g heap's allocation churn at 32
+# concurrent tasks crosses that budget and thrashes. 4g fits the build
+# comfortably (pack partitions are ~tens of MB) and measured ~60%
+# faster at 32 cores. On real hardware this knob is irrelevant.
+os.environ.setdefault("SPARK_DRIVER_MEM", "4g")
 from search_suite_spark.session import get_spark
 from search_suite_spark.sources.corpus import pages_from_documents
 from search_suite_spark.sources.segments import build_segment
@@ -99,12 +106,12 @@ import json, sys, time, multiprocessing as mp
 import numpy as np
 def burn(_):
     a = np.empty(200_000_000 // 8, dtype=np.int64)  # 200MB
+    b = np.empty_like(a)      # preallocated: no mmap churn in the loop
     a[:] = 7
     t0 = time.monotonic(); total = 0
     while time.monotonic() - t0 < 10:
-        b = a.copy()          # read+write 400MB per iteration
+        b[:] = a              # read+write 400MB per iteration
         total += b.nbytes * 2
-        del b
     return total
 if __name__ == "__main__":
     procs = {cores}
