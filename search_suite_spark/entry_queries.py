@@ -535,30 +535,58 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
     ).select(F.col("vec_id").cast("long").alias("vec_id"), "cos")
 
 
-def q_collection_scatter_gather(spark, sf_dir):
-    """Multi-segment scatter/gather (Q12) — no SQL oracle (segment-local
-    BM25 stats are an engine artifact, not expressible relationally in a
-    reasonable way); the pytest suite enforces identity with the merged
-    single-segment build instead."""
+def _collection(spark, sf_dir):
+    """Build (once per session+sf_dir) a two-segment collection split by
+    doc_id parity — the split is expressed on the source doc_id column so
+    the DuckDB oracle can reproduce segment membership exactly (xxhash64
+    has no DuckDB twin)."""
     import tempfile
 
     from search_suite_spark.sources.registry import (
         index_into_collection,
         load_collection,
-        query_collection,
     )
 
-    col = tempfile.mkdtemp(prefix="entry_col_")
-    p = _pages(spark, sf_dir)
-    index_into_collection(
-        spark, p.filter(F.xxhash64("url") % 2 == 0), col, n_shards=4, compact=False
-    )
-    index_into_collection(
-        spark, p.filter(F.xxhash64("url") % 2 != 0), col, n_shards=4, compact=False
-    )
-    segs = load_collection(spark, col)
+    key = _cache_key(spark, sf_dir)
+    if key not in _COLLECTION_CACHE:
+        col = tempfile.mkdtemp(prefix="entry_col_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for parity in (0, 1):
+            half = docs.filter(F.col("doc_id") % 2 == parity).select(
+                F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+                    "url"
+                ),
+                F.col("text"),
+            )
+            index_into_collection(spark, half, col, n_shards=4, compact=False)
+        _COLLECTION_CACHE[key] = load_collection(spark, col)
+    return _COLLECTION_CACHE[key]
+
+
+_COLLECTION_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def q_collection_scatter_gather(spark, sf_dir):
+    """Multi-segment scatter/gather (Q12): per-segment top-k with
+    segment-local stats (N, avgdl, df), union, url-dedupe keeping max
+    score, global re-sort — the DuckDB twin computes per-half stats in
+    CTEs keyed on doc_id parity."""
+    from search_suite_spark.sources.registry import query_collection
+
+    segs = _collection(spark, sf_dir)
     return query_collection(segs, "spark merge", max_results=10).select(
         "url", F.round("score", 6).alias("score")
+    )
+
+
+def q_spelling_collection(spark, sf_dir):
+    """Q14 multi-segment: per-segment dictionary scans merged as the
+    reference's word→dist→set monoid (set union of suggestion rows)."""
+    from search_suite_spark.operators.spelling import spelling_collection
+
+    segs = _collection(spark, sf_dir)
+    return spelling_collection(segs, "spark merg", max_dist=1).select(
+        "word", F.col("dist").cast("int").alias("dist"), "suggestion"
     )
 
 
@@ -603,12 +631,80 @@ SPARK_QUERIES = {
     "bm25_partial_match": q_bm25_partial_match,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "spelling_collection": q_spelling_collection,
 }
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
+
+# per-half (doc_id parity) twin of DOC_CTE — segment-local stats for the
+# collection scatter/gather and collection spelling oracles
+_HALF_CTE = f"""
+pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text,
+         doc_id % 2 AS half
+  FROM documents
+),
+tok AS (
+  SELECT url, half, unnest(list_concat({tok_sql('url')}, {tok_sql('text')})) AS term
+  FROM pages
+),
+tf AS (
+  SELECT url, half, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY url, half, term
+),
+dl AS (
+  SELECT url, half, CAST(count(*) AS BIGINT) AS doc_len
+  FROM tok GROUP BY url, half
+),
+dict AS (
+  SELECT half, term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY half, term
+),
+stats AS (
+  SELECT half, CAST(count(*) AS BIGINT) AS num_docs,
+         CAST(sum(doc_len) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+  FROM dl GROUP BY half
+)
+""".strip()
+
+
+def _scatter_gather_sql(terms: list[str], k: int = 10) -> str:
+    """Per-segment BM25 top-k with segment-local (N, avgdl, df), merged
+    by url keeping the max score, re-sorted globally — the SQL twin of
+    registry.query_collection over the doc_id-parity collection."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    n = len(terms)
+    return f"""
+WITH {_HALF_CTE},
+scored AS (
+  SELECT t.half, t.url,
+         sum( ln((s.num_docs - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * 2.2)
+              / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.doc_len::DOUBLE / s.avgdl::DOUBLE)))
+            ) AS exact_score
+  FROM tf t
+  JOIN dict d ON d.half = t.half AND d.term = t.term
+  JOIN dl ON dl.half = t.half AND dl.url = t.url
+  JOIN stats s ON s.half = t.half
+  WHERE t.term IN ({tl})
+  GROUP BY t.half, t.url
+  HAVING count(*) = {n}
+),
+per_seg AS (
+  SELECT half, url, exact_score,
+         row_number() OVER (PARTITION BY half ORDER BY exact_score DESC, url) AS rn
+  FROM scored
+),
+merged AS (
+  SELECT url, max(exact_score) AS exact_score
+  FROM per_seg WHERE rn <= {k} GROUP BY url
+)
+SELECT url, round(exact_score, 6) AS score
+FROM merged ORDER BY exact_score DESC, url LIMIT {k}
+""".strip()
+
 
 def _jaccard_sql(max_doc_id: int, threshold: float) -> str:
     return f"""
@@ -923,6 +1019,15 @@ FROM want LEFT JOIN docs ON want.url = docs.url
     "ann_cosine_topk": _cosine_topk_sql(),
     "ann_lsh_topk": _lsh_topk_sql(),
     "ann_lsh_multiprobe": _lsh_topk_sql(max_hamming=1),
+    "collection_scatter_gather": _scatter_gather_sql(["spark", "merge"]),
+    "spelling_collection": f"""
+WITH {_HALF_CTE},
+words(word) AS (VALUES ('spark'), ('merg'))
+SELECT DISTINCT word, CAST(levenshtein(term, word) AS INT) AS dist,
+       term AS suggestion
+FROM dict, words
+WHERE abs(length(term) - length(word)) <= 1 AND levenshtein(term, word) <= 1
+""".strip(),
     "merge_then_query": bm25_sql(["merge", "join"], limit=10),
     "query_with_metadata": f"""
 WITH meta AS (

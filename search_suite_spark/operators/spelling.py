@@ -60,6 +60,39 @@ def spelling_suggestions(
     )
 
 
+def spelling_collection(
+    segs, query: str, max_dist: int = 1
+) -> DataFrame:
+    """Collection-level spelling (Q14 multi-segment): fan out the
+    dictionary scan over every segment's terms table, then merge the
+    per-segment answers as the reference's word→dist→set monoid
+    (/root/reference/searchapi3/src/Query/SpellingProcessor.hs:44-80
+    folds per-segment maps with the QueryProcessorTypes.hs:133-138
+    Semigroup — a per-(word, dist) set union). The DataFrame form of
+    that set union is union + distinct over (word, dist, suggestion)
+    rows; Catalyst fuses the per-segment scans into one job.
+
+    ``segs`` is a dict or list of Segment (sources/registry.py's
+    load_collection shape). A segment whose terms table is missing falls
+    back to a term-projection of its packed postings.
+    """
+    seg_list = list(segs.values()) if isinstance(segs, dict) else list(segs)
+    if not seg_list:
+        raise ValueError("empty collection")
+    parts = []
+    for s in seg_list:
+        terms = (
+            s.terms
+            if s.terms is not None
+            else s.postings.select("term").distinct()
+        )
+        parts.append(spelling_suggestions(terms, query, max_dist=max_dist))
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    return acc.distinct()
+
+
 def suggestion_map(rows) -> dict[str, dict[int, set[str]]]:
     """Collect suggestion rows into the reference's response shape
     Map word (Map dist (Set suggestions)) (QueryProcessorTypes.hs:124-126)."""

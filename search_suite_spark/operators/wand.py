@@ -254,11 +254,15 @@ def wand_scored(seg: Segment, query: str, max_results: int | None = None) -> Dat
     kernel = _shard_kernel(terms_meta, seg.num_docs, seg.avgdl, max_results, deleted)
     cands = rows.groupBy("shard").applyInPandas(lambda pdf: kernel(pdf), RESULT_SCHEMA)
 
-    out = cands
+    # resolve urls BEFORE the global limit: each shard kernel already
+    # pruned to its local top-k (+ ties), so the join touches ≤ ~k·n_shards
+    # rows, and the k-boundary tie-break lands on url — a deterministic,
+    # externally-reproducible order (the packed and flat paths then agree
+    # with the SQL oracle's ORDER BY score DESC, url even on exact ties).
+    out = cands.join(seg.docs.select("doc_id", "url"), "doc_id")
     if max_results is not None:
-        out = out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(max_results)
+        out = out.orderBy(F.col("score").desc(), F.col("url")).limit(max_results)
     return (
-        out.join(seg.docs.select("doc_id", "url"), "doc_id")
-        .select("url", "score", "term_count")
+        out.select("url", "score", "term_count")
         .orderBy(F.col("score").desc(), F.col("url"))
     )
