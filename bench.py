@@ -85,6 +85,32 @@ def main() -> None:
         spark._jvm.System.gc()
         time.sleep(2)
 
+        # merge/compaction throughput: split the corpus in two halves,
+        # build each, then sort-merge (unpack -> union -> repack). Timed
+        # part = merge_segments only; the two half builds are staging.
+        from search_suite_spark.operators.merge import merge_segments
+
+        d_a = tempfile.mkdtemp(prefix="bench_mrg_a_")
+        d_b = tempfile.mkdtemp(prefix="bench_mrg_b_")
+        d_m = tempfile.mkdtemp(prefix="bench_mrg_m_")
+        try:
+            half_a = build_segment(
+                pages.filter(F.xxhash64("url") % 2 == 0), d_a,
+                n_shards=max(cpus, 16), shards_per_batch=max(cpus, 16),
+                resume=False, dedupe=False)
+            half_b = build_segment(
+                pages.filter(F.xxhash64("url") % 2 != 0), d_b,
+                n_shards=max(cpus, 16), shards_per_batch=max(cpus, 16),
+                resume=False, dedupe=False)
+            timed("merge_compact", lambda: merge_segments(
+                spark, half_a, half_b, d_m, n_shards=max(cpus, 16)))
+            extras["merge_docs_per_sec"] = round(
+                n_docs / timings["merge_compact"], 1)
+        finally:
+            shutil.rmtree(d_a, ignore_errors=True)
+            shutil.rmtree(d_b, ignore_errors=True)
+            shutil.rmtree(d_m, ignore_errors=True)
+
         timed("bm25_topk_packed", lambda: wand_scored(
             seg, "merge join", max_results=10).collect())
         timed("bm25_single_packed", lambda: wand_scored(

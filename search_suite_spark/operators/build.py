@@ -188,19 +188,22 @@ def token_rows(pages: DataFrame) -> DataFrame:
 
 
 def token_rows_with_doc(pages: DataFrame) -> DataFrame:
-    """pages → exploded token instances (doc_id, doc_len, term) with the
-    doc's FIRST row (pos 0) marked by storing ``-doc_len - 1`` — the
+    """pages → exploded token instances (doc_id, doc_len, term) plus one
+    null-term MARKER row per doc carrying ``-doc_len - 1`` — the
     single-pass build: one tokenize, one shuffle, and the pack kernel
     emits both posting rows and doc-table rows from the same stream
-    (restoring doc_len from the marker; doc identity — url, warc_ts —
-    is re-attached at docs-write time by a column-pruned pages join, so
-    the big shuffle carries only 3 narrow columns).
+    (doc identity — url, warc_ts — is re-attached at docs-write time by
+    a column-pruned pages join, so the big shuffle never carries a url).
 
-    posexplode_outer keeps zero-token docs (a null-term marker row with
-    doc_len = -1) so the docs table still records them.
+    The marker is a DEDICATED row (null term, prepended before the
+    explode) rather than a flag on the first token row, so the rows
+    survive a (doc_id, doc_len, term) aggregation unchanged — the build
+    counts tf with a map-side partial agg *before* its one exchange, and
+    a flagged token row would split its (doc, term) group in two.
+    Zero-token docs yield just the marker (doc_len = -1), so the docs
+    table still records them.
     """
-    is_first = F.col("pos").isNull() | (F.col("pos") == 0)
-    sz = F.greatest(F.col("_toksz"), F.lit(0))
+    sz = F.col("_toksz")
     return (
         pages.select(
             F.xxhash64("url").alias("doc_id"),
@@ -209,11 +212,15 @@ def token_rows_with_doc(pages: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.size("toks").alias("_toksz"),
-            F.posexplode_outer("toks").alias("pos", "term"),
+            F.explode(
+                F.concat(F.array(F.lit(None).cast("string")), F.col("toks"))
+            ).alias("term"),
         )
         .select(
             "doc_id",
-            F.when(is_first, -sz - 1).otherwise(sz).alias("doc_len"),
+            F.when(F.col("term").isNull(), -sz - 1).otherwise(sz).alias(
+                "doc_len"
+            ),
             "term",
         )
     )

@@ -278,17 +278,21 @@ def pack_many(
 
 def run_length_by_doc(
     ids: np.ndarray, dls: np.ndarray, group_starts: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Collapse raw token instances (one row per occurrence) into
     (doc_id, tf, doc_len) postings, vectorized over a whole chunk.
 
     Rows are sorted so all instances of a (group, doc) pair are adjacent.
-    Returns (ids', tfs', dls', group_starts') on the collapsed arrays.
+    Returns (ids', tfs', dls', group_starts', orig_starts) on the
+    collapsed arrays — ``orig_starts[i]`` is the pre-collapse row index
+    of collapsed posting i (callers map any collapsed position back to
+    the source row, e.g. to look up its term value).
     """
     n = int(ids.size)
     if n == 0:
         z = np.empty(0, dtype=np.uint64)
-        return z, z.copy(), z.copy(), np.empty(0, dtype=np.int64)
+        zi = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy(), zi, zi.copy()
     new_doc = np.zeros(n, dtype=bool)
     new_doc[0] = True
     new_doc[1:] = ids[1:] != ids[:-1]
@@ -297,7 +301,39 @@ def run_length_by_doc(
     tfs = np.diff(np.append(starts, n)).astype(np.uint64)
     # map old group starts to positions in the collapsed arrays
     new_group_starts = np.searchsorted(starts, group_starts)
-    return ids[starts], tfs, dls[starts], new_group_starts
+    return ids[starts], tfs, dls[starts], new_group_starts, starts
+
+
+# default cap on postings per PACKED ROW (codec block-range splitting):
+# a stop-word's (term, shard) list at web scale would otherwise be one
+# multi-GB row that ships Parquet→Arrow→Python in full even when a query
+# decodes 3 blocks of it — and whose varbyte buffer could overflow
+# Arrow's int32 binary offsets. 2^17 postings ≈ 1024 blocks ≈ ≤1 MiB of
+# ids varbyte per row bounds the transfer per row while keeping per-row
+# metadata overhead negligible.
+MAX_ROW_POSTINGS = 1 << 17
+
+
+def split_group_starts(
+    group_starts: np.ndarray, n_total: int, max_postings: int
+) -> np.ndarray:
+    """Subdivide groups longer than ``max_postings`` at block-aligned
+    positions (``max_postings`` must be a multiple of BLOCK): returns the
+    refined group_starts. Because delta encoding restarts at every BLOCK
+    boundary, each sub-group packs into a fully self-contained row."""
+    assert max_postings % BLOCK == 0
+    gs = np.asarray(group_starts, dtype=np.int64)
+    if gs.size == 0:
+        return gs
+    bounds = np.append(gs, n_total)
+    sizes = np.diff(bounds)
+    k = np.maximum(1, -(-sizes // max_postings))  # ceil division
+    if int(k.max(initial=1)) == 1:
+        return gs
+    parent = np.repeat(np.arange(sizes.size, dtype=np.int64), k)
+    csum = np.concatenate(([0], np.cumsum(k)))[:-1]
+    within = (np.arange(int(k.sum()), dtype=np.int64) - csum[parent]) * max_postings
+    return bounds[parent] + within
 
 
 def unpack_ids(row) -> np.ndarray:

@@ -36,11 +36,10 @@ union's postings without the tokenize pass.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_suite_spark.operators.codec import unpack_posting_list
+from search_suite_spark.operators.codec import BLOCK, varbyte_decode
 from search_suite_spark.sources.segments import (
     Segment,
     pack_and_write,
@@ -51,29 +50,81 @@ from search_suite_spark.sources.segments import (
 FLAT_SCHEMA = "term string, doc_id long, tf long, doc_len long"
 
 
+def _concat_binary(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of ALL values of a pa.BinaryArray as one uint8
+    buffer, plus the per-value byte bounds (len+1). No per-row Python."""
+    import pyarrow as pa  # noqa: F401
+
+    n = len(arr)
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
+    ).astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offs[0] : offs[-1]], offs - offs[0]
+
+
 def unpack_flat(seg: Segment) -> DataFrame:
     """Decode a segment's packed postings back to flat rows
-    (term, doc_id, tf, doc_len) — streaming, one Arrow batch at a time."""
+    (term, doc_id, tf, doc_len) — streaming mapInArrow batches, the
+    mirror of the pack kernel (segments._pack_stream_arrow): one varbyte
+    decode per COLUMN per chunk (vByte is self-delimiting, so the rows'
+    buffers decode concatenated), block-restart delta reconstruction as
+    a whole-chunk segmented cumsum, and the output term column assembled
+    with pc.take — zero per-row or per-list Python. Compaction runs
+    constantly in the LSM design, so this is hot-path code.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     def decode(batches):
-        for pdf in batches:
-            outs = []
-            for _, row in pdf.iterrows():
-                ids, tfs, dls = unpack_posting_list(row)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": np.repeat(row["term"], ids.size),
-                            "doc_id": ids.view(np.int64),
-                            "tf": tfs.astype(np.int64),
-                            "doc_len": dls.astype(np.int64),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+        for rb in batches:
+            t = pa.Table.from_batches([rb]).combine_chunks()
+            g = t.num_rows
+            if g == 0:
+                continue
 
-    return seg.postings.mapInPandas(decode, FLAT_SCHEMA)
+            def arr(name):
+                c = t.column(name)
+                return c.chunk(0) if c.num_chunks == 1 else c.combine_chunks()
+
+            ns = np.asarray(arr("n"), dtype=np.int64)
+            total = int(ns.sum())
+            ids_bytes, _ = _concat_binary(arr("ids"))
+            tfs_bytes, _ = _concat_binary(arr("tfs"))
+            dls_bytes, _ = _concat_binary(arr("dls"))
+
+            deltas = varbyte_decode(ids_bytes)
+            tfs = varbyte_decode(tfs_bytes)
+            dls = varbyte_decode(dls_bytes)
+
+            # per-posting list index and position-in-list
+            starts = np.concatenate(([0], np.cumsum(ns)))[:-1]
+            list_idx = np.repeat(np.arange(g, dtype=np.int64), ns)
+            pos_in_list = np.arange(total, dtype=np.int64) - starts[list_idx]
+
+            # segmented blockwise cumsum: deltas restart absolute at every
+            # in-list BLOCK boundary (codec.pack_many layout)
+            is_bs = (pos_in_list % BLOCK) == 0
+            bs = np.flatnonzero(is_bs)
+            c = np.cumsum(deltas, dtype=np.uint64)
+            prior = np.zeros(bs.size, dtype=np.uint64)
+            prior[1:] = c[bs[1:] - 1]
+            blk_of = np.cumsum(is_bs) - 1
+            ids = c - prior[blk_of]
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(arr("term"), pa.array(list_idx)),
+                    pa.array(ids.view(np.int64)),
+                    pa.array(tfs.astype(np.int64)),
+                    pa.array(dls.astype(np.int64)),
+                ],
+                names=["term", "doc_id", "tf", "doc_len"],
+            )
+
+    return seg.postings.select("term", "n", "ids", "tfs", "dls").mapInArrow(
+        decode, FLAT_SCHEMA
+    )
 
 
 def _live_docs(seg: Segment) -> DataFrame:

@@ -165,12 +165,20 @@ def bm25_partial(
 
 
 def unscored_ids(
-    index: InvertedIndex, query: str, mode: str | None = None
+    index: InvertedIndex,
+    query: str,
+    mode: str | None = None,
+    present_terms: set[str] | None = None,
 ) -> DataFrame:
     """Unscored retrieval → distinct (doc_id) frame — the set-algebra
     building block shared by unscored() and the structured-query fold
     (keeping urls out of the intermediate sets keeps every intersection /
-    union shuffle to 8 bytes per row)."""
+    union shuffle to 8 bytes per row).
+
+    ``present_terms``: the set of this index's dictionary terms among
+    those the caller already probed (plans/structured.py batches ONE
+    probe per clause tree) — when given, the per-leaf fast-abort
+    dictionary count() job is skipped entirely."""
     spark = index.postings.sparkSession
 
     if mode == "regex":
@@ -197,9 +205,13 @@ def unscored_ids(
     # fast abort if any query term is missing from the dictionary
     # (query.rs:34-40)
     distinct_terms = sorted(set(q_terms))
-    n_found = index.terms.filter(F.col("term").isin(distinct_terms)).count()
-    if n_found < len(distinct_terms):
-        return spark.createDataFrame([], "doc_id long")
+    if present_terms is not None:
+        if not all(t in present_terms for t in distinct_terms):
+            return spark.createDataFrame([], "doc_id long")
+    else:
+        n_found = index.terms.filter(F.col("term").isin(distinct_terms)).count()
+        if n_found < len(distinct_terms):
+            return spark.createDataFrame([], "doc_id long")
 
     # single-scan AND: one isin-pruned pass over the postings, then a
     # distinct-term count per doc — the same plan shape as bm25_scored.

@@ -67,30 +67,84 @@ def _empty_result() -> pd.DataFrame:
     )
 
 
-class _BlockCache:
-    """Lazily-decoded (ids, tfs, dls) per block of one posting list."""
+class _TermList:
+    """One logical posting list for a (term, shard) — possibly several
+    packed ROWS after the giant-list split (codec.MAX_ROW_POSTINGS):
+    rows cover disjoint, consecutive doc-id ranges; this class presents
+    them as one list addressed by GLOBAL block index. Only the metadata
+    arrays are concatenated up front (cheap); posting buffers decode
+    lazily per block, per owning row."""
 
-    def __init__(self, row):
-        self.row = row
-        self.blocks: dict[int, tuple] = {}
-        self.block_last = np.asarray(row["block_last"], dtype=np.int64).view(
-            np.uint64
+    def __init__(self, rows: list):
+        def first_last(r):
+            return np.asarray(r["block_last"], dtype=np.int64).view(np.uint64)[0]
+
+        rows = sorted(rows, key=first_last)
+        self.rows = rows
+        self.n = sum(int(r["n"]) for r in rows)
+        per_row = [
+            np.asarray(r["block_last"], dtype=np.int64).view(np.uint64)
+            for r in rows
+        ]
+        self.block_last = np.concatenate(per_row)
+        # global block b belongs to row searchsorted(row_block_off, b, 'right')-1
+        self.row_block_off = np.concatenate(
+            ([0], np.cumsum([x.size for x in per_row]))
+        ).astype(np.int64)
+
+    def meta(self, name: str) -> np.ndarray:
+        return np.concatenate(
+            [np.asarray(r[name], dtype=np.int64) for r in self.rows]
         )
+
+    def _by_row(self, global_blocks: np.ndarray):
+        gb = np.asarray(global_blocks, dtype=np.int64)
+        row_idx = np.searchsorted(self.row_block_off, gb, side="right") - 1
+        for ri in np.unique(row_idx):
+            yield int(ri), gb[row_idx == ri] - self.row_block_off[ri]
+
+    def decode_all_ids(self) -> np.ndarray:
+        return (
+            np.concatenate([unpack_ids(r) for r in self.rows])
+            if self.rows
+            else np.empty(0, dtype=np.uint64)
+        )
+
+    def decode_blocks_ids(self, global_blocks: np.ndarray) -> np.ndarray:
+        out = [
+            unpack_blocks(self.rows[ri], local, cols=("ids",))[0]
+            for ri, local in self._by_row(global_blocks)
+        ]
+        return np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
+
+
+class _BlockCache:
+    """Lazily-decoded (ids, tfs, dls) per GLOBAL block of a _TermList."""
+
+    def __init__(self, tl: _TermList):
+        self.tl = tl
+        self.blocks: dict[int, tuple] = {}
+        self.block_last = tl.block_last
 
     def block_of(self, ids: np.ndarray) -> np.ndarray:
         return np.searchsorted(self.block_last, ids, side="left")
 
     def ensure(self, needed: np.ndarray) -> None:
-        missing = [b for b in np.unique(needed) if int(b) not in self.blocks]
-        if not missing:
+        missing = np.asarray(
+            [b for b in np.unique(needed) if int(b) not in self.blocks],
+            dtype=np.int64,
+        )
+        if missing.size == 0:
             return
-        DECODE_STATS["blocks_decoded"] += len(missing)
-        ids, tfs, dls, pos = unpack_blocks(self.row, np.asarray(missing))
-        for b in missing:
-            b = int(b)
-            s = np.searchsorted(pos, b * BLOCK)
-            e = np.searchsorted(pos, (b + 1) * BLOCK)
-            self.blocks[b] = (ids[s:e], tfs[s:e], dls[s:e])
+        DECODE_STATS["blocks_decoded"] += int(missing.size)
+        for ri, local in self.tl._by_row(missing):
+            ids, tfs, dls, pos = unpack_blocks(self.tl.rows[ri], local)
+            off = int(self.tl.row_block_off[ri])
+            for lb in np.unique(local):
+                lb = int(lb)
+                s = np.searchsorted(pos, lb * BLOCK)
+                e = np.searchsorted(pos, (lb + 1) * BLOCK)
+                self.blocks[off + lb] = (ids[s:e], tfs[s:e], dls[s:e])
 
     def lookup(self, cand_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """tf/dl for candidate ids KNOWN to be present in this list."""
@@ -107,43 +161,44 @@ class _BlockCache:
         return tf, dl
 
 
-def _shard_kernel(terms_meta, n_docs, avgdl, k, deleted_ids):
-    """Build the per-shard conjunctive block-max scorer closure.
+def _shard_kernel(terms_meta, n_docs, avgdl, k):
+    """Build the per-shard conjunctive block-max scorer.
 
-    terms_meta: {term: (global_df, multiplicity)}; deleted_ids: sorted
-    uint64 numpy array (broadcast via closure — small; a deletes *table*
-    anti-join replaces this at very large delete volumes).
+    terms_meta: {term: (global_df, multiplicity)}. The returned kernel
+    takes (pdf, deleted_ids) — deleted_ids a sorted uint64 numpy array of
+    this shard's deleted doc ids; the caller either closes over one small
+    driver-collected array (low delete volume) or cogroups the deletes
+    table by shard so each kernel invocation gets only its shard's slice
+    (high volume — nothing ever materializes on the driver).
     """
     n_instances = sum(m for _, m in terms_meta.values())
     idfs = {t: _idf(n_docs, df) for t, (df, _) in terms_meta.items()}
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame, deleted_ids: np.ndarray) -> pd.DataFrame:
         present = set(pdf["term"])
         if present != set(terms_meta):
             # some query term has no postings in this shard → empty AND
             return _empty_result()
-        rows = {r["term"]: r for _, r in pdf.iterrows()}
+        by_term: dict[str, list] = {}
+        for _, r in pdf.iterrows():
+            by_term.setdefault(r["term"], []).append(r)
+        lists = {t: _TermList(rs) for t, rs in by_term.items()}
         # rarest-first by shard-local posting count
-        order = sorted(rows, key=lambda t: rows[t]["n"])
+        order = sorted(lists, key=lambda t: lists[t].n)
         DECODE_STATS["blocks_total"] += sum(
-            len(rows[t]["block_last"]) for t in order
+            lists[t].block_last.size for t in order
         )
 
         # ---- phase 1+2: ids-only intersection ------------------------
-        cand_ids = unpack_ids(rows[order[0]])
+        cand_ids = lists[order[0]].decode_all_ids()
         for t in order[1:]:
             if cand_ids.size == 0:
                 return _empty_result()
-            row = rows[t]
-            block_last = np.asarray(row["block_last"], dtype=np.int64).view(
-                np.uint64
-            )
-            blocks = np.searchsorted(block_last, cand_ids, side="left")
-            in_range = blocks < block_last.size
+            tl = lists[t]
+            blocks = np.searchsorted(tl.block_last, cand_ids, side="left")
+            in_range = blocks < tl.block_last.size
             cand_ids = cand_ids[in_range]
-            ids, _, _, _ = unpack_blocks(
-                row, np.unique(blocks[in_range]), cols=("ids",)
-            )
+            ids = tl.decode_blocks_ids(np.unique(blocks[in_range]))
             pos = np.searchsorted(ids, cand_ids)
             pos_ok = pos < ids.size
             hit = np.zeros(cand_ids.size, dtype=bool)
@@ -165,18 +220,18 @@ def _shard_kernel(terms_meta, n_docs, avgdl, k, deleted_ids):
         #         = mult · idf · impact(min_tf, max_dl)   when idf <  0
         # (idf may be negative — ranking.rs:43-49 — which flips which
         # block extremum bounds the contribution from above)
-        caches = {t: _BlockCache(rows[t]) for t in order}
+        caches = {t: _BlockCache(lists[t]) for t in order}
         ub = np.zeros(cand_ids.size, dtype=np.float64)
         for t in order:
             c = caches[t]
             blk = c.block_of(cand_ids)
             mult = terms_meta[t][1]
             if idfs[t] >= 0:
-                btf = np.asarray(rows[t]["block_max_tf"], dtype=np.int64)[blk]
-                bdl = np.asarray(rows[t]["block_min_dl"], dtype=np.int64)[blk]
+                btf = lists[t].meta("block_max_tf")[blk]
+                bdl = lists[t].meta("block_min_dl")[blk]
             else:
-                btf = np.asarray(rows[t]["block_min_tf"], dtype=np.int64)[blk]
-                bdl = np.asarray(rows[t]["block_max_dl"], dtype=np.int64)[blk]
+                btf = lists[t].meta("block_min_tf")[blk]
+                bdl = lists[t].meta("block_max_dl")[blk]
             ub += mult * idfs[t] * impact_bound(btf, bdl, avgdl)
 
         # score exactly in upper-bound order, chunked; stop when the next
@@ -227,7 +282,19 @@ def _shard_kernel(terms_meta, n_docs, avgdl, k, deleted_ids):
     return kernel
 
 
-def wand_scored(seg: Segment, query: str, max_results: int | None = None) -> DataFrame:
+# above this many delete rows the deletes table is never collected to the
+# driver: it is shard-partitioned and cogrouped into the shard kernels
+# instead (compaction garbage-collects deletes, so most segments sit far
+# below this; the cap is a driver-OOM guard for delete-heavy workloads)
+DELETES_BROADCAST_MAX = 1 << 16
+
+
+def wand_scored(
+    seg: Segment,
+    query: str,
+    max_results: int | None = None,
+    deletes_broadcast_max: int = DELETES_BROADCAST_MAX,
+) -> DataFrame:
     """Scored conjunctive query over a packed segment → (url, score,
     term_count), rank-identical to the flat path (tests enforce it)."""
     spark = seg.postings.sparkSession
@@ -247,12 +314,41 @@ def wand_scored(seg: Segment, query: str, max_results: int | None = None) -> Dat
     terms_meta = {t: (dfs[t], m) for t, m in multiplicity.items()}
 
     deleted = np.empty(0, dtype=np.uint64)
+    deletes_df = None
     if seg.deletes is not None:
-        vals = [r["doc_id"] for r in seg.deletes.select("doc_id").distinct().collect()]
-        deleted = np.sort(np.array(vals, dtype=np.int64).view(np.uint64))
+        d = seg.deletes.select("doc_id").distinct()
+        if d.count() <= deletes_broadcast_max:
+            vals = [r["doc_id"] for r in d.collect()]
+            deleted = np.sort(np.array(vals, dtype=np.int64).view(np.uint64))
+        else:
+            deletes_df = d
 
-    kernel = _shard_kernel(terms_meta, seg.num_docs, seg.avgdl, max_results, deleted)
-    cands = rows.groupBy("shard").applyInPandas(lambda pdf: kernel(pdf), RESULT_SCHEMA)
+    kernel = _shard_kernel(terms_meta, seg.num_docs, seg.avgdl, max_results)
+    if deletes_df is None:
+        cands = rows.groupBy("shard").applyInPandas(
+            lambda pdf: kernel(pdf, deleted), RESULT_SCHEMA
+        )
+    else:
+        # large-deletes path: shard = pmod(doc_id, n_shards) is derivable
+        # from the delete's doc_id alone, so the deletes co-shuffle with
+        # the postings rows and each kernel sees only its shard's slice
+        from search_suite_spark.sources.segments import shard_of_doc_id
+
+        del_sharded = deletes_df.withColumn(
+            "shard", shard_of_doc_id(seg.n_shards)
+        )
+
+        def cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            dead = np.sort(
+                right["doc_id"].to_numpy(dtype=np.int64).view(np.uint64)
+            )
+            return kernel(left, dead)
+
+        cands = (
+            rows.groupBy("shard")
+            .cogroup(del_sharded.groupBy("shard"))
+            .applyInPandas(cg, RESULT_SCHEMA)
+        )
 
     # resolve urls BEFORE the global limit: each shard kernel already
     # pruned to its local top-k (+ ties), so the join touches ≤ ~k·n_shards

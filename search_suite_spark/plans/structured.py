@@ -27,6 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from search_suite_spark.operators.build import InvertedIndex
 from search_suite_spark.operators.query import unscored_ids
@@ -126,28 +127,61 @@ def parse_structured_query(query: str) -> Clause:
     return clause
 
 
-def evaluate_structured(index: InvertedIndex, clause: Clause) -> DataFrame:
+def _text_leaf_terms(clause: Clause) -> set[str]:
+    """All normalized terms across every ClauseText leaf of the tree."""
+    from search_suite_spark.operators.query import parse_query_terms
+
+    if isinstance(clause, ClauseText):
+        return set(parse_query_terms(clause.text))
+    if isinstance(clause, Conjunction):
+        out: set[str] = set()
+        for c in clause.children:
+            out |= _text_leaf_terms(c)
+        return out
+    return set()
+
+
+def evaluate_structured(
+    index: InvertedIndex, clause: Clause, _present: set[str] | None = None
+) -> DataFrame:
     """Clause tree → DataFrame of distinct doc_ids in the result set.
 
     StructuredProcessor.hs:57-71's left-fold, over doc-id-only frames:
     every leaf's ids are already distinct, so AND is a left-semi join and
     SUB a left-anti join (cheaper than intersect/subtract, which re-dedupe
     both sides); OR unions then dedupes once.
+
+    The fast-abort dictionary probe (query.rs:34-40) is batched: ONE
+    isin-pruned dictionary job covers every ClauseText leaf's terms — a
+    deep clause tree otherwise serializes one driver-blocking count()
+    job of pure submit latency per leaf.
     """
+    if _present is None:
+        all_terms = sorted(_text_leaf_terms(clause))
+        _present = (
+            {
+                r["term"]
+                for r in index.terms.filter(F.col("term").isin(all_terms))
+                .select("term")
+                .collect()
+            }
+            if all_terms
+            else set()
+        )
     if isinstance(clause, ClauseText):
-        return unscored_ids(index, clause.text)
+        return unscored_ids(index, clause.text, present_terms=_present)
     if isinstance(clause, ClauseRegex):
         return unscored_ids(index, clause.pattern, mode="regex")
     assert isinstance(clause, Conjunction)
     if clause.op == "or":
-        acc = evaluate_structured(index, clause.children[0])
+        acc = evaluate_structured(index, clause.children[0], _present)
         for c in clause.children[1:]:
-            acc = acc.unionByName(evaluate_structured(index, c))
+            acc = acc.unionByName(evaluate_structured(index, c, _present))
         return acc.distinct()
-    acc = evaluate_structured(index, clause.children[0])
+    acc = evaluate_structured(index, clause.children[0], _present)
     how = "left_semi" if clause.op == "and" else "left_anti"
     for c in clause.children[1:]:
-        acc = acc.join(evaluate_structured(index, c), "doc_id", how)
+        acc = acc.join(evaluate_structured(index, c, _present), "doc_id", how)
     return acc
 
 

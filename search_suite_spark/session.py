@@ -26,6 +26,11 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # UTC session timezone is part of the engine contract, not a local-mode
+    # nicety: the WARC sink renders warc_ts with a literal 'Z' suffix
+    # (warc.py), which falsely stamps local wall time as UTC in any
+    # cluster-launched session left on a host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set(
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",

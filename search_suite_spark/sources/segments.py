@@ -49,7 +49,7 @@ from search_suite_spark.operators.build import (
     doc_attrs as doc_attrs_projection,
     token_rows_with_doc,
 )
-from search_suite_spark.operators.codec import pack_posting_list
+from search_suite_spark.sources.segment_io import DEFAULT_IO, SegmentIO
 
 PACKED_SCHEMA = (
     "term string, shard int, n long, ids binary, tfs binary, dls binary, "
@@ -74,19 +74,27 @@ LINEAGE_SCHEMA = (
 _U64_SIGN_FLIP = -(1 << 63)  # XOR flips int64 order into uint64 order
 
 
-def _pack_stream_arrow(has_tf: bool, n_shards: int):
+def _pack_stream_arrow(
+    has_tf: bool,
+    n_shards: int,
+    max_row_postings: int | None = None,
+    emit_docs: bool | None = None,
+):
     """mapInArrow packer over a partition pre-sorted by
     (shard, term, uint64 doc_id) — the build's ONLY Python stage, and it
     does no sorting at all.
 
-    Input rows are narrow on purpose (build: doc_id, doc_len, term;
-    merge: + tf) — the shard column is NOT shipped across the Arrow
-    boundary; the kernel recomputes ``shard = pmod(doc_id, n_shards)``
-    (numpy ``%`` matches Spark pmod on int64). The build path marks each
-    doc's first token row by storing ``-doc_len - 1`` (see
-    build.token_rows_with_doc); the kernel restores doc_len and emits one
-    doc-table row per marker — exactly once, since every input row
-    passes through exactly one chunk.
+    Input rows are narrow on purpose (doc_id, doc_len, term [, tf]) —
+    the shard column is NOT shipped across the Arrow boundary; the
+    kernel recomputes ``shard = pmod(doc_id, n_shards)`` (numpy ``%``
+    matches Spark pmod on int64). With ``emit_docs`` (the build path,
+    default = not has_tf for the legacy uncollapsed pipeline) each doc
+    contributes one null-term marker row carrying ``-doc_len - 1`` (see
+    build.token_rows_with_doc); the kernel emits one doc-table row per
+    marker — exactly once, since every input row passes through exactly
+    one chunk. ``has_tf`` means tf arrives pre-counted (the build's
+    map-side partial agg, or the merge's unpacked rows); otherwise the
+    kernel run-length counts token instances.
 
     ZERO per-row or per-group Python: group boundaries come from pyarrow
     C++ compare kernels, tf run-length counting and the varbyte pack are
@@ -100,7 +108,17 @@ def _pack_stream_arrow(has_tf: bool, n_shards: int):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from search_suite_spark.operators.codec import pack_many, run_length_by_doc
+    from search_suite_spark.operators.codec import (
+        MAX_ROW_POSTINGS,
+        pack_many,
+        run_length_by_doc,
+        split_group_starts,
+    )
+
+    if max_row_postings is None:
+        max_row_postings = MAX_ROW_POSTINGS
+    if emit_docs is None:
+        emit_docs = not has_tf
 
     def batch_to_output(t: pa.Table) -> list[pa.RecordBatch]:
         n = t.num_rows
@@ -113,6 +131,7 @@ def _pack_stream_arrow(has_tf: bool, n_shards: int):
         term_a = arr("term")
         ids = np.asarray(arr("doc_id"), dtype=np.int64)
         dls = np.asarray(arr("doc_len"), dtype=np.int64)
+        tf_np = np.asarray(arr("tf"), dtype=np.int64) if has_tf else None
         sh = ids % n_shards  # == Spark pmod(doc_id, n_shards)
 
         def schema_batch(kind_arrays: dict) -> pa.RecordBatch:
@@ -137,8 +156,8 @@ def _pack_stream_arrow(has_tf: bool, n_shards: int):
                 arrays.append(a)
             return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
-        if not has_tf:
-            # doc-marker rows: doc_len stored as -(len)-1 on pos-0 rows
+        if emit_docs:
+            # doc-marker rows: null term, doc_len stored as -(len)-1
             doc_mask = dls < 0
             if doc_mask.any():
                 out.append(schema_batch({
@@ -148,14 +167,15 @@ def _pack_stream_arrow(has_tf: bool, n_shards: int):
                     "doc_len": pa.array(
                         (-dls[doc_mask] - 1).astype(np.int32)),
                 }))
-                dls = np.where(doc_mask, -dls - 1, dls)
-            # 0-token docs (null term) contribute no postings
-            if term_a.null_count:
-                keep = term_a.is_valid()
-                keep_np = np.asarray(keep)
-                term_a = pc.filter(term_a, keep)
-                sh, ids, dls = sh[keep_np], ids[keep_np], dls[keep_np]
-                n = int(term_a.length())
+        # null-term rows (doc markers) contribute no postings
+        if term_a.null_count:
+            keep = term_a.is_valid()
+            keep_np = np.asarray(keep)
+            term_a = pc.filter(term_a, keep)
+            sh, ids, dls = sh[keep_np], ids[keep_np], dls[keep_np]
+            if tf_np is not None:
+                tf_np = tf_np[keep_np]
+            n = len(term_a)
 
         if n == 0:
             return out
@@ -169,27 +189,50 @@ def _pack_stream_arrow(has_tf: bool, n_shards: int):
             ([0], np.flatnonzero(change) + 1)
         ).astype(np.int64)
 
-        gfirst = group_starts  # original index of each group's first row
         u_ids = ids.view(np.uint64)
         u_dls = dls.astype(np.uint64)
         if has_tf:
-            u_tfs = np.asarray(arr("tf"), dtype=np.int64).astype(np.uint64)
+            u_tfs = tf_np.astype(np.uint64)
+            # giant-list split (codec.MAX_ROW_POSTINGS): one (term, shard)
+            # posting list becomes several block-aligned rows, each fully
+            # self-contained — bounds the Arrow transfer (and int32
+            # offsets) per row at query time
+            group_starts = split_group_starts(
+                group_starts, n, max_row_postings
+            )
+            gfirst = group_starts  # original index of each row's first token
         else:
-            u_ids, u_tfs, u_dls, group_starts = run_length_by_doc(
+            u_ids, u_tfs, u_dls, group_starts, orig_starts = run_length_by_doc(
                 u_ids, u_dls, group_starts
             )
+            group_starts = split_group_starts(
+                group_starts, int(u_ids.size), max_row_postings
+            )
+            gfirst = orig_starts[group_starts]
 
         p = pack_many(u_ids, u_tfs, u_dls, group_starts)
         g = int(p["n"].size)
 
         def binary_arr(buf: bytes, bounds: np.ndarray) -> pa.Array:
+            # pa.binary() offsets are int32 — fail loudly instead of
+            # silently wrapping if a chunk's varbyte buffer ever crosses
+            # 2 GiB (the tbucket shuffle salt keeps real chunks orders of
+            # magnitude below this)
+            if int(bounds[-1]) >= 2**31:
+                raise ValueError(
+                    f"packed chunk buffer {int(bounds[-1])} bytes overflows "
+                    "int32 Arrow offsets; raise n_tbuckets"
+                )
             return pa.Array.from_buffers(
                 pa.binary(), g,
                 [None, pa.py_buffer(bounds.astype(np.int32).tobytes()),
                  pa.py_buffer(buf)],
             )
 
-        bb = np.concatenate(([0], np.cumsum(p["block_counts"]))).astype(np.int32)
+        bb = np.concatenate(([0], np.cumsum(p["block_counts"])))
+        if int(bb[-1]) >= 2**31:
+            raise ValueError("block-metadata list offsets overflow int32")
+        bb = bb.astype(np.int32)
 
         def list_arr(vals: np.ndarray) -> pa.Array:
             return pa.ListArray.from_arrays(pa.array(bb), pa.array(vals))
@@ -264,6 +307,7 @@ class Segment:
     total_doc_len: int
     deletes: DataFrame | None
     terms: DataFrame | None = None  # (term, df) dictionary table
+    n_shards: int = 0  # from lineage (one row per shard)
 
     @property
     def avgdl(self) -> int:
@@ -303,6 +347,8 @@ def pack_and_write(
     mode: str = "overwrite",
     write_terms: bool = False,
     doc_attrs: DataFrame | None = None,
+    io: SegmentIO = DEFAULT_IO,
+    max_row_postings: int | None = None,
 ) -> None:
     """Pack flat postings (+ docs rows) into segment tables under seg_dir
     and append per-shard lineage.
@@ -310,23 +356,22 @@ def pack_and_write(
     ``flat`` is either pre-counted posting rows (term, shard, doc_id, tf,
     doc_len) — the merge path, with ``docs`` supplied separately — or raw
     marker-carrying token instances (doc_id, doc_len, term, shard) from
-    token_rows_with_doc, in which case ``docs=None``: tf is run-length
-    counted inside the pack kernel, the docs table's (doc_id, doc_len,
-    shard) rows are emitted from the SAME stream (one tokenize, one
-    shuffle for the whole build — a second full-tokenize docs pass
-    measurably broke core scaling), and ``doc_attrs`` (doc_id, url
-    [, warc_ts] from build.doc_attrs) is joined on to restore doc
-    identity — a column-pruned scan, never a tokenize.
+    token_rows_with_doc, in which case ``docs=None``: tf is counted by a
+    map-side partial aggregation that collapses token instances before
+    the build's one exchange, the docs table's (doc_id, doc_len, shard)
+    rows are emitted from the SAME stream via the null-term marker rows
+    (one tokenize, one shuffle for the whole build — a second
+    full-tokenize docs pass measurably broke core scaling), and
+    ``doc_attrs`` (doc_id, url [, warc_ts] from build.doc_attrs) is
+    joined on to restore doc identity — a column-pruned scan, never a
+    tokenize.
     ``shards`` restricts the lineage computation to a batch (resume
-    granularity).
+    granularity). ``io`` is the storage seam (segment_io.SegmentIO) —
+    every persisted byte goes through it.
     """
-    postings_path = os.path.join(seg_dir, "postings")
-    docs_path = os.path.join(seg_dir, "docs")
-    lineage_path = os.path.join(seg_dir, "lineage")
     t0 = time.monotonic()
 
     has_tf = "tf" in flat.columns
-    kernel = _pack_stream_arrow(has_tf=has_tf, n_shards=n_shards)
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     single_pass = docs is None
     if single_pass and doc_attrs is None:
@@ -335,97 +380,105 @@ def pack_and_write(
     # magnitude smaller than the flat postings) and every downstream
     # table — postings, docs (single-pass), lineage metrics, terms — is a
     # cheap scan of it; nothing recomputes the expensive pack shuffle.
-    # Shuffle keyed on (shard, tbucket-expression): bounds per-task skew
-    # the same way a salted two-phase agg would (largest key group =
-    # postings_in_shard / n_tbuckets); tbucket is a pure partitioning
-    # salt, so it is never materialized as a column — the sort only needs
-    # (shard, term, uint64(doc_id)) to make groups adjacent, and the
-    # Python packer is then a pure streaming run-length pass. The shard
-    # column itself is projected away before the Arrow boundary (the
-    # kernel re-derives it from doc_id), keeping the per-row
-    # serialization cost to the three columns the kernel actually needs.
-    tbucket = F.pmod(F.xxhash64("term"), F.lit(n_tbuckets))
-    arrow_cols = (
-        ["term", "doc_id", "tf", "doc_len"]
-        if has_tf
-        else ["doc_id", "doc_len", "term"]
-    )
-    packed = (
-        flat.repartition(npart, F.col("shard"), tbucket)
-        .sortWithinPartitions(
-            "shard",
-            "term",
-            F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)),
+    # Shuffle keyed on (shard, tbucket): bounds per-task skew the same
+    # way a salted two-phase agg would (largest key group =
+    # postings_in_shard / n_tbuckets). The shard column is projected away
+    # before the Arrow boundary (the kernel re-derives it from doc_id),
+    # keeping per-row serialization to the columns the kernel needs.
+    u64sort = F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP))
+    if single_pass:
+        # build path: tf is counted by a hash aggregation whose map-side
+        # partial agg collapses token instances to (doc, term, tf) rows
+        # BEFORE the exchange — the groupBy's keys are a superset of the
+        # repartition keys, so Catalyst reuses the one exchange (no
+        # second shuffle), and everything downstream (shuffle bytes,
+        # sort, Arrow transfer into the kernel) carries ~tf-fold fewer
+        # rows. The null-term doc-marker rows ride along (count 1).
+        kernel = _pack_stream_arrow(
+            has_tf=True, n_shards=n_shards,
+            max_row_postings=max_row_postings, emit_docs=True,
         )
-        .select(*arrow_cols)
-        .mapInArrow(kernel, PACK_STREAM_SCHEMA)
-        .persist()
-    )
+        tbucket = F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)).cast("int")
+        pre = (
+            flat.withColumn("tbucket", tbucket)
+            .repartition(npart, F.col("shard"), F.col("tbucket"))
+            .groupBy("shard", "tbucket", "doc_id", "doc_len", "term")
+            .agg(F.count("*").cast("int").alias("tf"))
+            .sortWithinPartitions("shard", "term", u64sort)
+            .select("doc_id", "doc_len", "term", "tf")
+        )
+    else:
+        # merge path: tf arrives pre-counted from the unpacked segments;
+        # tbucket stays a pure partitioning expression (never a column)
+        kernel = _pack_stream_arrow(
+            has_tf=has_tf, n_shards=n_shards,
+            max_row_postings=max_row_postings, emit_docs=False,
+        )
+        tbucket = F.pmod(F.xxhash64("term"), F.lit(n_tbuckets))
+        arrow_cols = (
+            ["term", "doc_id", "tf", "doc_len"]
+            if has_tf
+            else ["doc_id", "doc_len", "term"]
+        )
+        pre = (
+            flat.repartition(npart, F.col("shard"), tbucket)
+            .sortWithinPartitions("shard", "term", u64sort)
+            .select(*arrow_cols)
+        )
+    packed = pre.mapInArrow(kernel, PACK_STREAM_SCHEMA).persist()
     try:
         is_doc_row = F.col("term").isNull()
-        if single_pass:
-            # one job materializes the pack shuffle into the cache; the
-            # table writes below are then cache scans
-            packed.count()
-            docs = packed.filter(is_doc_row).select(
-                "doc_id", "doc_len", "shard"
-            ).join(doc_attrs, "doc_id")
         postings_out = packed.filter(~is_doc_row).select(
             *[c.split(" ")[0] for c in PACKED_SCHEMA.split(", ")]
         )
 
-        # the two table writes are independent jobs — run them on two
-        # driver threads so the Spark scheduler overlaps them (each job's
-        # fixed submit/commit latency is a serial tail otherwise).
-        #
-        # postings: repartition by shard before the write — cheap on
-        # packed data, and it yields one file per shard (query latency is
-        # dominated by file listing/footers when each (task, shard) pair
-        # leaves a fragment). The within-file term sort feeds Parquet
-        # row-group min/max stats so query-time term filters prune at the
-        # scan.
+        # phase A — postings write: the FIRST scan of the persisted
+        # frame, so cache materialization fuses into a real write job
+        # (no separate warm-up count() pass).
+        io.write_postings(postings_out, seg_dir, mode)
+
+        # phase B — docs + terms writes overlap on driver threads (both
+        # are now cheap cache scans; each job's fixed submit/commit
+        # latency would otherwise be a serial tail). The physical layout
+        # (shard partitioning, in-file sort) lives in the SegmentIO impl.
         import concurrent.futures as cf
 
-        def _write_postings():
-            (
-                postings_out.repartition("shard")
-                .sortWithinPartitions("term")
-                .write.mode(mode)
-                .partitionBy("shard")
-                .parquet(postings_path)
-            )
-
-        def _write_docs():
-            (
-                docs.repartition("shard")
-                .sortWithinPartitions("doc_id")
-                .write.mode(mode)
-                .partitionBy("shard")
-                .parquet(docs_path)
-            )
-
+        if single_pass:
+            docs = packed.filter(is_doc_row).select(
+                "doc_id", "doc_len", "shard"
+            ).join(doc_attrs, "doc_id")
         with cf.ThreadPoolExecutor(max_workers=2) as ex:
-            futs = [ex.submit(_write_postings), ex.submit(_write_docs)]
+            futs = [ex.submit(io.write_docs, docs, seg_dir, mode)]
+            if write_terms:
+                futs.append(
+                    ex.submit(
+                        write_terms_table, spark, seg_dir, postings_out, io
+                    )
+                )
             for f in futs:
                 f.result()
 
         ms = int((time.monotonic() - t0) * 1000)
-        # lineage metrics: postings stats from the cached packed frame
-        # (the write succeeded ⇒ it IS what landed); doc stats from a
-        # read-back of the just-written (small) docs table — recomputing
-        # the docs frame would re-run its tokenizer pass.
+        # phase C — lineage LAST (a lineage row means "shard complete",
+        # the resume contract), computed entirely from the cached packed
+        # frame / the in-memory docs plan: no disk read-back job.
         # The join is LEFT from the *explicit shard list* of the batch, so
         # a shard with zero docs AND zero postings still gets a (zeroed)
         # lineage row — otherwise a resumed build would rebuild empty
         # shards forever and a fully-empty segment would crash read_segment.
-        docs_read = spark.read.parquet(docs_path)
+        doc_stats_src = (
+            packed.filter(is_doc_row).select("shard", "doc_len")
+            if single_pass
+            else docs.select("shard", "doc_len")
+        )
         if shards is not None:
-            docs_read = docs_read.filter(F.col("shard").isin(shards))
             shard_list = spark.createDataFrame([(s,) for s in shards], "shard int")
         else:
-            shard_list = packed.select("shard").unionByName(
-                docs_read.select("shard")
-            ).distinct()
+            shard_list = packed.select("shard").distinct()
+            if not single_pass:
+                shard_list = shard_list.unionByName(
+                    docs.select("shard")
+                ).distinct()
         lineage = (
             shard_list.join(
                 postings_out.groupBy("shard").agg(
@@ -439,7 +492,7 @@ def pack_and_write(
                 "left",
             )
             .join(
-                docs_read.groupBy("shard").agg(
+                doc_stats_src.groupBy("shard").agg(
                     F.count("*").alias("n_docs"),
                     F.sum("doc_len").alias("total_doc_len"),
                 ),
@@ -456,47 +509,36 @@ def pack_and_write(
                 F.lit(ms).alias("ms"),
             )
         )
-        lineage.write.mode("append").parquet(lineage_path)
-        if write_terms:
-            # caller guarantees this call covers the whole segment — the
-            # dictionary comes straight from the still-persisted packed
-            # frame, saving the end-of-build postings read-back
-            write_terms_table(spark, seg_dir, postings=postings_out)
+        io.append_lineage(lineage, seg_dir)
     finally:
         packed.unpersist()
 
 
 def write_terms_table(
-    spark: SparkSession, seg_dir: str, postings: DataFrame | None = None
+    spark: SparkSession,
+    seg_dir: str,
+    postings: DataFrame | None = None,
+    io: SegmentIO = DEFAULT_IO,
 ) -> None:
     """Write the segment-global term dictionary (term, df) — the analogue
     of the reference's sorted `terms` file (index_writer.rs:31-36). One
-    small parquet per segment: query-time df lookup reads this instead of
+    small table per segment: query-time df lookup reads this instead of
     scanning packed postings, and the spelling scan (Q14) runs over it.
 
     ``postings`` short-circuits the read-back when the caller still holds
     the (persisted) packed frame — single-batch builds save a scan job.
     """
     if postings is None:
-        postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
+        postings = io.read_postings(spark, seg_dir)
     terms = postings.groupBy("term").agg(F.sum("n").alias("df"))
-    tmp = os.path.join(seg_dir, "_terms_tmp")
-    # parallel write, term-sorted within files (row-group pruning); no
-    # coalesce(1) — a single-task dictionary write is a serial tail at
-    # scale (vocabularies reach 10^8 terms on web corpora)
-    terms.sortWithinPartitions("term").write.mode("overwrite").parquet(tmp)
-    final = os.path.join(seg_dir, "terms")
-    if os.path.isdir(final):
-        import shutil
-
-        shutil.rmtree(final)
-    os.rename(tmp, final)
+    io.write_terms(terms, seg_dir)
 
 
-def completed_shards(spark: SparkSession, seg_dir: str) -> set[int]:
-    lineage_path = os.path.join(seg_dir, "lineage")
+def completed_shards(
+    spark: SparkSession, seg_dir: str, io: SegmentIO = DEFAULT_IO
+) -> set[int]:
     try:
-        rows = spark.read.parquet(lineage_path).select("shard").distinct().collect()
+        rows = io.read_lineage(spark, seg_dir).select("shard").distinct().collect()
     except Exception:
         return set()
     return {r["shard"] for r in rows}
@@ -510,6 +552,8 @@ def build_segment(
     resume: bool = True,
     dedupe: bool = True,
     n_tbuckets: int = 64,
+    io: SegmentIO = DEFAULT_IO,
+    max_row_postings: int | None = None,
 ) -> Segment:
     """Build (or resume building) a packed segment from a pages frame.
 
@@ -534,7 +578,7 @@ def build_segment(
     if dedupe and "warc_ts" in pages.columns:
         pages = dedupe_newest_wins(pages)
 
-    done = completed_shards(spark, seg_dir) if resume else set()
+    done = completed_shards(spark, seg_dir, io=io) if resume else set()
     todo = [s for s in range(n_shards) if s not in done]
 
     sharded = pages.withColumn(
@@ -561,36 +605,28 @@ def build_segment(
         pack_and_write(
             spark, flat, None, seg_dir, n_shards, n_tbuckets, shards=batch,
             write_terms=one_shot, doc_attrs=doc_attrs_projection(bpages),
+            io=io, max_row_postings=max_row_postings,
         )
 
     if todo and not (not done and len(todo) <= shards_per_batch):
-        write_terms_table(spark, seg_dir)
+        write_terms_table(spark, seg_dir, io=io)
 
-    return read_segment(spark, seg_dir)
+    return read_segment(spark, seg_dir, io=io)
 
 
-def read_segment(spark: SparkSession, seg_dir: str) -> Segment:
-    # explicit schema: skips footer-based inference on every open (at web
-    # scale a segment has thousands of posting files) and keeps an
-    # all-empty segment readable
-    postings = spark.read.schema(PACKED_SCHEMA).parquet(
-        os.path.join(seg_dir, "postings")
-    )
-    docs = spark.read.parquet(os.path.join(seg_dir, "docs"))
-    lineage = spark.read.parquet(os.path.join(seg_dir, "lineage"))
+def read_segment(
+    spark: SparkSession, seg_dir: str, io: SegmentIO = DEFAULT_IO
+) -> Segment:
+    postings = io.read_postings(spark, seg_dir)
+    docs = io.read_docs(spark, seg_dir)
+    lineage = io.read_lineage(spark, seg_dir)
     stats = lineage.agg(
         F.coalesce(F.sum("n_docs"), F.lit(0)).alias("nd"),
         F.coalesce(F.sum("total_doc_len"), F.lit(0)).alias("tdl"),
+        F.coalesce(F.max("shard"), F.lit(-1)).alias("max_shard"),
     ).collect()[0]
-    deletes_path = os.path.join(seg_dir, "deletes")
-    deletes = None
-    if os.path.isdir(deletes_path):
-        try:
-            deletes = spark.read.parquet(deletes_path)
-        except Exception:
-            deletes = None
-    terms_path = os.path.join(seg_dir, "terms")
-    terms = spark.read.parquet(terms_path) if os.path.isdir(terms_path) else None
+    deletes = io.read_deletes(spark, seg_dir)
+    terms = io.read_terms(spark, seg_dir)
     return Segment(
         path=seg_dir,
         postings=postings,
@@ -599,6 +635,7 @@ def read_segment(spark: SparkSession, seg_dir: str) -> Segment:
         total_doc_len=int(stats["tdl"]),
         deletes=deletes,
         terms=terms,
+        n_shards=int(stats["max_shard"]) + 1,
     )
 
 
@@ -608,9 +645,7 @@ def dump_segment(seg: Segment, n_terms: int = 20) -> str:
     (/root/reference/indexer-qp2/src/dump.rs:6-41). Aggregates run
     distributed; only the tiny report reaches the driver.
     """
-    lineage = seg.postings.sparkSession.read.parquet(
-        os.path.join(seg.path, "lineage")
-    )
+    lineage = DEFAULT_IO.read_lineage(seg.postings.sparkSession, seg.path)
     lrows = lineage.orderBy("shard").collect()
     stats = seg.postings.agg(
         F.count("*").alias("lists"),
@@ -643,7 +678,9 @@ def dump_segment(seg: Segment, n_terms: int = 20) -> str:
     return "\n".join(lines)
 
 
-def delete_url(spark: SparkSession, seg: Segment, url: str) -> None:
+def delete_url(
+    spark: SparkSession, seg: Segment, url: str, io: SegmentIO = DEFAULT_IO
+) -> None:
     """Append the url's doc_id to the segment's deletes table (Q17)."""
     ids = seg.docs.filter(F.col("url") == url).select("doc_id")
-    ids.write.mode("append").parquet(os.path.join(seg.path, "deletes"))
+    io.append_deletes(ids, seg.path)

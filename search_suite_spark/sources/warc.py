@@ -195,22 +195,35 @@ def write_warc_distributed(pages: DataFrame, out_dir: str) -> DataFrame:
         tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
         n = 0
         offsets: list[int] = []
-        with open(tmp, "wb") as f:
-            for pdf in batches:
-                for url, date, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
-                    offsets.append(f.tell())
-                    f.write(_warc_record_bytes(
-                        url, date or "1970-01-01T00:00:00Z", text or ""))
-                    n += 1
-        if n == 0:
-            os.unlink(tmp)
-            yield pd.DataFrame({"file": [], "n_records": [], "bytes": []})
-            return
-        size = os.path.getsize(tmp)
-        with open(tmp + ".offsets", "wb") as f:
-            f.write(struct.pack(f"<{len(offsets)}Q", *offsets))
-        os.replace(tmp + ".offsets", final_offs)
-        os.replace(tmp, final)
+        try:
+            with open(tmp, "wb") as f:
+                for pdf in batches:
+                    for url, date, text in zip(
+                        pdf["url"], pdf["warc_ts"], pdf["text"]
+                    ):
+                        offsets.append(f.tell())
+                        f.write(_warc_record_bytes(
+                            url, date or "1970-01-01T00:00:00Z", text or ""))
+                        n += 1
+            if n == 0:
+                yield pd.DataFrame({"file": [], "n_records": [], "bytes": []})
+                return
+            size = os.path.getsize(tmp)
+            with open(tmp + ".offsets", "wb") as f:
+                f.write(struct.pack(f"<{len(offsets)}Q", *offsets))
+            # data file lands FIRST, sidecar second: a crash between the
+            # two replaces leaves a WARC without a sidecar (readers fall
+            # back to a sequential parse) — never a sidecar pointing at a
+            # missing or stale WARC
+            os.replace(tmp, final)
+            os.replace(tmp + ".offsets", final_offs)
+        finally:
+            # failed / retried tasks must not leak .tmp-* files
+            for leftover in (tmp, tmp + ".offsets"):
+                try:
+                    os.unlink(leftover)
+                except FileNotFoundError:
+                    pass
         yield pd.DataFrame({"file": [final], "n_records": [n], "bytes": [size]})
 
     manifest = src.select(*cols).mapInPandas(

@@ -176,8 +176,54 @@ def test_run_length_by_doc_collapses_token_instances(groups):
     exp_dls = np.repeat(dls, tfs.astype(np.int64))
     row_of = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
     exp_gs = row_of[gs]
-    rids, rtfs, rdls, rgs = run_length_by_doc(exp_ids, exp_dls, exp_gs)
+    rids, rtfs, rdls, rgs, rstarts = run_length_by_doc(exp_ids, exp_dls, exp_gs)
     assert np.array_equal(rids, ids)
     assert np.array_equal(rtfs, tfs)
     assert np.array_equal(rdls, dls)
     assert np.array_equal(rgs, gs)
+    # orig_starts maps each collapsed posting back to its first source row
+    assert np.array_equal(rstarts, row_of[:-1])
+
+
+def test_split_group_starts_block_aligned():
+    from search_suite_spark.operators.codec import BLOCK, split_group_starts
+
+    # groups of sizes [3*BLOCK+5, BLOCK, 1] with max 1 block per row
+    gs = np.array([0, 3 * BLOCK + 5, 4 * BLOCK + 5], dtype=np.int64)
+    n = 4 * BLOCK + 6
+    out = split_group_starts(gs, n, BLOCK)
+    exp = [0, BLOCK, 2 * BLOCK, 3 * BLOCK, 3 * BLOCK + 5, 4 * BLOCK + 5]
+    assert list(out) == exp
+    # no-op when every group fits
+    assert list(split_group_starts(gs, n, 1 << 20)) == list(gs)
+
+
+def test_pack_stream_chunk_boundary_carry(spark, tmp_path):
+    """A group that straddles Arrow batch boundaries must be carried over
+    by the stream wrapper's pend/cut logic (segments._pack_stream_arrow)
+    and produce a byte-identical segment to the single-batch build."""
+    from search_suite_spark.sources.corpus import pages_from_docs_list
+    from search_suite_spark.sources.segments import build_segment
+
+    docs = [
+        (f"http://carry{i}", " ".join(["shared"] * 5 + [f"tok{i % 7}", "tail"]))
+        for i in range(30)
+    ]
+    pages = pages_from_docs_list(spark, docs)
+
+    def snapshot(seg):
+        rows = seg.postings.orderBy("shard", "term").collect()
+        return [
+            (r["term"], r["shard"], r["n"], bytes(r["ids"]), bytes(r["tfs"]),
+             bytes(r["dls"]), list(r["block_last"]))
+            for r in rows
+        ]
+
+    big = build_segment(pages, str(tmp_path / "one_batch"), n_shards=2)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        tiny = build_segment(pages, str(tmp_path / "tiny_batch"), n_shards=2)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert snapshot(tiny) == snapshot(big)

@@ -154,11 +154,9 @@ def test_blockmax_skips_scoring_decodes():
     row = {"term": "common", "shard": 0, **p}
     pdf = pd.DataFrame([row])
 
-    kernel = W._shard_kernel(
-        {"common": (df, 1)}, n_docs, avgdl, 5, np.empty(0, dtype=np.uint64)
-    )
+    kernel = W._shard_kernel({"common": (df, 1)}, n_docs, avgdl, 5)
     W.DECODE_STATS.update(blocks_decoded=0, blocks_total=0)
-    out = kernel(pdf)
+    out = kernel(pdf, np.empty(0, dtype=np.uint64))
 
     n_blocks = (n + BLOCK - 1) // BLOCK
     assert W.DECODE_STATS["blocks_total"] == n_blocks
@@ -191,3 +189,58 @@ def test_wand_deletion(spark, seg, flat):
     assert after == full - {victim}
     # stats unchanged by deletion (ranking.rs:48-50)
     assert seg2.num_docs == flat.num_docs
+
+
+def test_wand_large_deletes_cogroup_branch(spark, seg):
+    """Above the broadcast cap the deletes table must never reach the
+    driver: the shard-cogrouped path has to produce results identical to
+    the closure-array path (deletes_broadcast_max=0 forces it)."""
+    full = {r["url"] for r in wand_scored(seg, "spark").collect()}
+    victims = sorted(full)[:2]
+    for v in victims:
+        delete_url(spark, seg, v)
+    seg2 = read_segment(spark, seg.path)
+    assert seg2.n_shards == 4
+    small = wand_scored(seg2, "spark")
+    big = wand_scored(seg2, "spark", deletes_broadcast_max=0)
+    rows_small = {(r["url"], round(r["score"], 9)) for r in small.collect()}
+    rows_big = {(r["url"], round(r["score"], 9)) for r in big.collect()}
+    assert rows_small == rows_big
+    assert {u for u, _ in rows_big}.isdisjoint(victims)
+
+
+def test_giant_list_row_split_rank_identity(spark, flat, tmp_path):
+    """codec.MAX_ROW_POSTINGS splitting: a segment built with a tiny
+    per-row posting cap must (a) actually cap every packed row, (b) keep
+    every query rank-identical to the flat path, and (c) bound the Arrow
+    bytes per row (the 100-TB stop-word transfer guard)."""
+    d = str(tmp_path / "seg_split")
+    seg = build_segment(
+        _pages(spark), d, n_shards=2, shards_per_batch=2,
+        max_row_postings=128,
+    )
+    stats = seg.postings.groupBy("term", "shard").count()
+    assert stats.filter(F.col("count") > 1).count() > 0, "no term split rows"
+    assert seg.postings.agg(F.max("n")).collect()[0][0] <= 128
+    for q in QUERIES:
+        w = {r["url"]: (r["score"], r["term_count"])
+             for r in wand_scored(seg, q).collect()}
+        f = {r["url"]: (r["score"], r["term_count"])
+             for r in bm25_scored(flat, q).collect()}
+        assert set(w) == set(f), f"url set mismatch for {q!r}"
+        for url, (score, tc) in f.items():
+            assert w[url][0] == pytest.approx(score, rel=1e-9), f"{q!r} {url}"
+            assert w[url][1] == tc
+
+
+def test_split_segment_unpack_flat_matches_unsplit(spark, seg, tmp_path):
+    from search_suite_spark.operators.merge import unpack_flat
+
+    d = str(tmp_path / "seg_split2")
+    seg_s = build_segment(
+        _pages(spark), d, n_shards=4, shards_per_batch=4,
+        max_row_postings=128,
+    )
+    a = {tuple(r) for r in unpack_flat(seg).collect()}
+    b = {tuple(r) for r in unpack_flat(seg_s).collect()}
+    assert a == b

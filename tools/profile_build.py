@@ -56,36 +56,41 @@ t = time.monotonic()
 n_docs = pages.count()
 t = tick("count_input", t)
 
+# mirrors pack_and_write's single-pass plan: map-side partial agg
+# collapses tf before the one exchange; postings write fuses cache
+# materialization (phase A), docs/terms are cache scans (phase B),
+# lineage last (phase C)
 flat = token_rows_with_doc(pages).withColumn("shard", shard_of_doc_id(n_shards))
-
-kernel = _pack_stream_arrow(has_tf=False, n_shards=n_shards)
+kernel = _pack_stream_arrow(has_tf=True, n_shards=n_shards, emit_docs=True)
 npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+tbucket = F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)).cast("int")
 packed = (
-    flat.repartition(npart, F.col("shard"),
-                     F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)))
+    flat.withColumn("tbucket", tbucket)
+    .repartition(npart, F.col("shard"), F.col("tbucket"))
+    .groupBy("shard", "tbucket", "doc_id", "doc_len", "term")
+    .agg(F.count("*").cast("int").alias("tf"))
     .sortWithinPartitions("shard", "term",
                           F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)))
-    .select("doc_id", "doc_len", "term")
+    .select("doc_id", "doc_len", "term", "tf")
     .mapInArrow(kernel, PACK_STREAM_SCHEMA)
     .persist()
 )
-n_lists = packed.count()
-t = tick("tokenize_shuffle_pack", t)
-
 is_doc = F.col("term").isNull()
 postings_out = packed.filter(~is_doc).select(
     *[c.split(" ")[0] for c in PACKED_SCHEMA.split(", ")])
-docs_b = packed.filter(is_doc).select("doc_id", "doc_len", "shard").join(doc_attrs(pages), "doc_id")
-
 (postings_out.repartition("shard").sortWithinPartitions("term")
  .write.mode("overwrite").partitionBy("shard").parquet(seg_dir + "/postings"))
-t = tick("postings_write", t)
+t = tick("pack_and_postings_write", t)
 
+docs_b = packed.filter(is_doc).select("doc_id", "doc_len", "shard").join(doc_attrs(pages), "doc_id")
 (docs_b.repartition("shard").sortWithinPartitions("doc_id")
  .write.mode("overwrite").partitionBy("shard").parquet(seg_dir + "/docs"))
 t = tick("docs_write", t)
 
-docs_read = spark.read.parquet(seg_dir + "/docs")
+terms = postings_out.groupBy("term").agg(F.sum("n").alias("df"))
+terms.sortWithinPartitions("term").write.mode("overwrite").parquet(seg_dir + "/terms")
+t = tick("terms_write", t)
+
 shard_list = spark.createDataFrame([(s,) for s in range(n_shards)], "shard int")
 lineage = (
     shard_list.join(
@@ -93,17 +98,14 @@ lineage = (
             F.count("*").alias("n_terms"), F.sum("n").alias("n_postings"),
             F.sum(F.length("ids") + F.length("tfs") + F.length("dls")).alias("packed_bytes"),
         ), "shard", "left")
-    .join(docs_read.groupBy("shard").agg(
+    .join(packed.filter(is_doc).groupBy("shard").agg(
         F.count("*").alias("n_docs"), F.sum("doc_len").alias("total_doc_len")),
         "shard", "left")
 )
 lineage.write.mode("append").parquet(seg_dir + "/lineage")
 t = tick("lineage", t)
 
-terms = postings_out.groupBy("term").agg(F.sum("n").alias("df"))
-terms.sortWithinPartitions("term").write.mode("overwrite").parquet(seg_dir + "/terms")
-t = tick("terms_write", t)
-
+n_lists = postings_out.count()
 shutil.rmtree(seg_dir, ignore_errors=True)
 total = sum(phases.values()) - phases["count_input"]
 print("PROFILE_RESULT " + json.dumps({{"cores": cores, "n_docs": n_docs,
