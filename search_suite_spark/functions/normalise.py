@@ -166,6 +166,9 @@ def tokenize_udf():
 
 _SQL_RUNS_PATTERN = r"[\p{L}]+|[\p{N}]+"
 _SQL_BOUNDARY = r"(?<=\p{javaLowerCase})(?=\p{javaUpperCase})"
+# adjacency probe (no lookarounds): a run deagglutinates iff a lowercase
+# char is immediately followed by an uppercase char somewhere in it
+_SQL_HAS_BOUNDARY = r"\p{javaLowerCase}\p{javaUpperCase}"
 _NUL = " "
 
 
@@ -181,28 +184,26 @@ def tokens_column(*cols):
 
     s = cols[0] if len(cols) == 1 else F.concat_ws(" ", *cols)
     runs = F.regexp_extract_all(s, F.lit(_SQL_RUNS_PATTERN), F.lit(0))
-    split_runs = F.transform(
-        runs,
-        lambda r: F.struct(
-            r.alias("w"),
-            F.split(F.regexp_replace(r, _SQL_BOUNDARY, _NUL), _NUL).alias("g"),
-        ),
-    )
+
     # normalise.rs:35-42 quirk: when an alpha run splits, the whole run
     # (lowercased) is emitted at position 1: [g0, whole, g1, g2, ...].
-    # Numeric runs never contain a case boundary, so they take the
-    # size==1 branch where lower() is an identity on digits.
+    # The cheap adjacency probe (rlike, no capture/replace/alloc) guards
+    # the expensive path: most web-text runs are all-lowercase or numeric
+    # and take the single-array branch, skipping the regexp_replace +
+    # split + slice machinery entirely — tokenize is the build's widest
+    # codegen stage, so per-run allocations are the cost that matters.
+    def explode_run(r):
+        g = F.split(F.regexp_replace(r, _SQL_BOUNDARY, _NUL), _NUL)
+        return F.concat(
+            F.array(F.lower(F.element_at(g, 1)), F.lower(r)),
+            F.transform(F.slice(g, 2, F.size(g) - 1), F.lower),
+        )
+
     return F.flatten(
         F.transform(
-            split_runs,
-            lambda t: F.when(
-                F.size(t["g"]) > 1,
-                F.concat(
-                    F.array(F.lower(F.element_at(t["g"], 1)), F.lower(t["w"])),
-                    F.transform(
-                        F.slice(t["g"], 2, F.size(t["g"]) - 1), F.lower
-                    ),
-                ),
-            ).otherwise(F.array(F.lower(t["w"]))),
+            runs,
+            lambda r: F.when(
+                r.rlike(_SQL_HAS_BOUNDARY), explode_run(r)
+            ).otherwise(F.array(F.lower(r))),
         )
     )

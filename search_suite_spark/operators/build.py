@@ -202,28 +202,41 @@ def token_rows_with_doc(pages: DataFrame) -> DataFrame:
     a flagged token row would split its (doc, term) group in two.
     Zero-token docs yield just the marker (doc_len = -1), so the docs
     table still records them.
+
+    Doc identity rides the marker row too: url (and warc_ts as unix
+    micros ``warc_us`` — int64 keeps timestamps out of the Arrow kernel)
+    are set ONLY on marker rows and null on the ~doc_len-times-more
+    token rows, so the shuffle pays one url per DOC, not per token, and
+    the docs table needs no second pages scan or join at write time.
     """
-    sz = F.col("_toksz")
-    return (
-        pages.select(
-            F.xxhash64("url").alias("doc_id"),
-            tokens_column(F.col("url"), F.col("text")).alias("toks"),
-        )
-        .select(
-            "doc_id",
-            F.size("toks").alias("_toksz"),
-            F.explode(
-                F.concat(F.array(F.lit(None).cast("string")), F.col("toks"))
-            ).alias("term"),
-        )
-        .select(
-            "doc_id",
-            F.when(F.col("term").isNull(), -sz - 1).otherwise(sz).alias(
-                "doc_len"
-            ),
-            "term",
-        )
+    has_ts = "warc_ts" in pages.columns
+    sel = [
+        F.xxhash64("url").alias("doc_id"),
+        F.col("url"),
+        tokens_column(F.col("url"), F.col("text")).alias("toks"),
+    ]
+    if has_ts:
+        sel.append(F.unix_micros(F.col("warc_ts")).alias("warc_us"))
+    base = pages.select(*sel).select(
+        "doc_id",
+        "url",
+        F.size("toks").alias("_toksz"),
+        F.explode(
+            F.concat(F.array(F.lit(None).cast("string")), F.col("toks"))
+        ).alias("term"),
+        *(["warc_us"] if has_ts else []),
     )
+    is_marker = F.col("term").isNull()
+    sz = F.col("_toksz")
+    out = [
+        "doc_id",
+        F.when(is_marker, -sz - 1).otherwise(sz).alias("doc_len"),
+        "term",
+        F.when(is_marker, F.col("url")).alias("url"),
+    ]
+    if has_ts:
+        out.append(F.when(is_marker, F.col("warc_us")).alias("warc_us"))
+    return base.select(*out)
 
 
 def doc_attrs(pages: DataFrame) -> DataFrame:

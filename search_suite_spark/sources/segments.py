@@ -46,7 +46,6 @@ from pyspark.sql import functions as F
 
 from search_suite_spark.operators.build import (
     dedupe_newest_wins,
-    doc_attrs as doc_attrs_projection,
     token_rows_with_doc,
 )
 from search_suite_spark.sources.segment_io import DEFAULT_IO, SegmentIO
@@ -59,12 +58,14 @@ PACKED_SCHEMA = (
 )
 
 # the pack kernel's full output: posting rows (term set, doc fields null)
-# interleaved with doc-table rows (term null, doc_id/doc_len set) — the
-# single-pass build derives BOTH tables from one tokenize+shuffle job;
-# doc identity (url, warc_ts) is joined back from a column-pruned pages
-# projection at docs-write time, so neither the shuffle nor the Arrow
-# boundary ever carries a url
-PACK_STREAM_SCHEMA = PACKED_SCHEMA + ", doc_id long, doc_len int"
+# interleaved with doc-table rows (term null, doc_id/doc_len/url set) —
+# the single-pass build derives BOTH tables from one tokenize+shuffle
+# job. Doc identity (url, warc_us) rides ONLY the one marker row per doc
+# (null on token rows), so the shuffle and Arrow boundary pay one url
+# per doc, not per token, and the docs write needs no pages re-scan.
+PACK_STREAM_SCHEMA = (
+    PACKED_SCHEMA + ", doc_id long, doc_len int, url string, warc_us long"
+)
 
 LINEAGE_SCHEMA = (
     "shard int, n_docs long, total_doc_len long, n_terms long, "
@@ -148,6 +149,7 @@ def _pack_stream_arrow(
                 ("block_min_tf", pa.list_(pa.int64())),
                 ("block_max_dl", pa.list_(pa.int64())),
                 ("doc_id", pa.int64()), ("doc_len", pa.int32()),
+                ("url", pa.string()), ("warc_us", pa.int64()),
             ):
                 fields.append(pa.field(name, typ))
                 a = kind_arrays.get(name)
@@ -157,16 +159,22 @@ def _pack_stream_arrow(
             return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
         if emit_docs:
-            # doc-marker rows: null term, doc_len stored as -(len)-1
+            # doc-marker rows: null term, doc_len stored as -(len)-1;
+            # url / warc_us carried on the marker row only
             doc_mask = dls < 0
             if doc_mask.any():
-                out.append(schema_batch({
+                mask_pa = pa.array(doc_mask)
+                doc_cols = {
                     "__len__": int(doc_mask.sum()),
                     "shard": pa.array(sh[doc_mask].astype(np.int32)),
                     "doc_id": pa.array(ids[doc_mask]),
                     "doc_len": pa.array(
                         (-dls[doc_mask] - 1).astype(np.int32)),
-                }))
+                    "url": pc.filter(arr("url"), mask_pa),
+                }
+                if "warc_us" in t.column_names:
+                    doc_cols["warc_us"] = pc.filter(arr("warc_us"), mask_pa)
+                out.append(schema_batch(doc_cols))
         # null-term rows (doc markers) contribute no postings
         if term_a.null_count:
             keep = term_a.is_valid()
@@ -346,7 +354,6 @@ def pack_and_write(
     shards: list[int] | None = None,
     mode: str = "overwrite",
     write_terms: bool = False,
-    doc_attrs: DataFrame | None = None,
     io: SegmentIO = DEFAULT_IO,
     max_row_postings: int | None = None,
 ) -> None:
@@ -359,12 +366,10 @@ def pack_and_write(
     token_rows_with_doc, in which case ``docs=None``: tf is counted by a
     map-side partial aggregation that collapses token instances before
     the build's one exchange, the docs table's (doc_id, doc_len, shard)
-    rows are emitted from the SAME stream via the null-term marker rows
-    (one tokenize, one shuffle for the whole build — a second
-    full-tokenize docs pass measurably broke core scaling), and
-    ``doc_attrs`` (doc_id, url [, warc_ts] from build.doc_attrs) is
-    joined on to restore doc identity — a column-pruned scan, never a
-    tokenize.
+    rows are emitted from the SAME stream via the null-term marker rows,
+    which also carry doc identity (url, warc_us) — one tokenize, one
+    shuffle, zero follow-up scans or joins for the whole build (a second
+    full-tokenize docs pass measurably broke core scaling).
     ``shards`` restricts the lineage computation to a batch (resume
     granularity). ``io`` is the storage seam (segment_io.SegmentIO) —
     every persisted byte goes through it.
@@ -374,8 +379,7 @@ def pack_and_write(
     has_tf = "tf" in flat.columns
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     single_pass = docs is None
-    if single_pass and doc_attrs is None:
-        raise ValueError("single-pass pack needs a doc_attrs projection")
+    has_ts = "warc_us" in flat.columns
     # persist the packed frame: it is the *compressed* index (orders of
     # magnitude smaller than the flat postings) and every downstream
     # table — postings, docs (single-pass), lineage metrics, terms — is a
@@ -399,13 +403,18 @@ def pack_and_write(
             max_row_postings=max_row_postings, emit_docs=True,
         )
         tbucket = F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)).cast("int")
+        # url / warc_us are null on every token row and set on the one
+        # marker row per doc — including them in the grouping keys is
+        # free (constant within each group) and carries doc identity
+        # through the aggregation
+        id_cols = ["url"] + (["warc_us"] if has_ts else [])
         pre = (
             flat.withColumn("tbucket", tbucket)
             .repartition(npart, F.col("shard"), F.col("tbucket"))
-            .groupBy("shard", "tbucket", "doc_id", "doc_len", "term")
+            .groupBy("shard", "tbucket", "doc_id", "doc_len", "term", *id_cols)
             .agg(F.count("*").cast("int").alias("tf"))
             .sortWithinPartitions("shard", "term", u64sort)
-            .select("doc_id", "doc_len", "term", "tf")
+            .select("doc_id", "doc_len", "term", "tf", *id_cols)
         )
     else:
         # merge path: tf arrives pre-counted from the unpacked segments;
@@ -445,8 +454,16 @@ def pack_and_write(
 
         if single_pass:
             docs = packed.filter(is_doc_row).select(
-                "doc_id", "doc_len", "shard"
-            ).join(doc_attrs, "doc_id")
+                "doc_id",
+                "doc_len",
+                "shard",
+                "url",
+                *(
+                    [F.timestamp_micros(F.col("warc_us")).alias("warc_ts")]
+                    if has_ts
+                    else []
+                ),
+            )
         with cf.ThreadPoolExecutor(max_workers=2) as ex:
             futs = [ex.submit(io.write_docs, docs, seg_dir, mode)]
             if write_terms:
@@ -604,8 +621,7 @@ def build_segment(
         one_shot = not done and len(batch) == len(todo)
         pack_and_write(
             spark, flat, None, seg_dir, n_shards, n_tbuckets, shards=batch,
-            write_terms=one_shot, doc_attrs=doc_attrs_projection(bpages),
-            io=io, max_row_postings=max_row_postings,
+            write_terms=one_shot, io=io, max_row_postings=max_row_postings,
         )
 
     if todo and not (not done and len(todo) <= shards_per_batch):

@@ -53,7 +53,7 @@ elif which == "full2":
             "thash", "term", F.pmod(F.col("doc_id"), F.lit(32)),
             F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)))
         .select("doc_id", "doc_len", "term")
-        .mapInArrow(_pack_stream_arrow(has_tf=False, n_shards=32),
+        .mapInArrow(_pack_stream_arrow(has_tf=False, n_shards=32, emit_docs=False),
                     PACK_STREAM_SCHEMA)
     )
 elif which == "fullagg":
@@ -70,7 +70,7 @@ elif which == "fullagg":
         .sortWithinPartitions("shard", "term",
                               F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)))
         .select("doc_id", "doc_len", "term", "tf")
-        .mapInArrow(_pack_stream_arrow(has_tf=True, n_shards=32),
+        .mapInArrow(_pack_stream_arrow(has_tf=True, n_shards=32, emit_docs=False),
                     PACK_STREAM_SCHEMA)
     )
 elif which == "kprep":
@@ -90,7 +90,7 @@ elif which == "kernel":
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
     df = (
         spark.read.parquet(os.environ["SCALING_STAGED_PAGES"] + "/sorted3")
-        .mapInArrow(_pack_stream_arrow(has_tf=False, n_shards=32),
+        .mapInArrow(_pack_stream_arrow(has_tf=False, n_shards=32, emit_docs=False),
                     PACK_STREAM_SCHEMA)
     )
 elif which == "kernel_pass":
@@ -113,7 +113,7 @@ else:
         .sortWithinPartitions("shard", "term",
                               F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)))
         .select("doc_id", "doc_len", "term")
-        .mapInArrow(_pack_stream_arrow(has_tf=False, n_shards=32),
+        .mapInArrow(_pack_stream_arrow(has_tf=False, n_shards=32, emit_docs=False),
                     PACK_STREAM_SCHEMA)
     )
 if df is not None:

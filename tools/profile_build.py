@@ -29,7 +29,7 @@ from search_suite_spark.sources.segments import (
     PACKED_SCHEMA, PACK_STREAM_SCHEMA, _pack_stream_arrow, _U64_SIGN_FLIP,
     shard_of_doc_id,
 )
-from search_suite_spark.operators.build import doc_attrs, token_rows_with_doc
+from search_suite_spark.operators.build import token_rows_with_doc
 
 cores = {cores}
 spark = get_spark(app=f"profile_{{cores}}", cores=cores,
@@ -64,14 +64,15 @@ flat = token_rows_with_doc(pages).withColumn("shard", shard_of_doc_id(n_shards))
 kernel = _pack_stream_arrow(has_tf=True, n_shards=n_shards, emit_docs=True)
 npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 tbucket = F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)).cast("int")
+id_cols = ["url"] + (["warc_us"] if "warc_us" in flat.columns else [])
 packed = (
     flat.withColumn("tbucket", tbucket)
     .repartition(npart, F.col("shard"), F.col("tbucket"))
-    .groupBy("shard", "tbucket", "doc_id", "doc_len", "term")
+    .groupBy("shard", "tbucket", "doc_id", "doc_len", "term", *id_cols)
     .agg(F.count("*").cast("int").alias("tf"))
     .sortWithinPartitions("shard", "term",
                           F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)))
-    .select("doc_id", "doc_len", "term", "tf")
+    .select("doc_id", "doc_len", "term", "tf", *id_cols)
     .mapInArrow(kernel, PACK_STREAM_SCHEMA)
     .persist()
 )
@@ -82,7 +83,7 @@ postings_out = packed.filter(~is_doc).select(
  .write.mode("overwrite").partitionBy("shard").parquet(seg_dir + "/postings"))
 t = tick("pack_and_postings_write", t)
 
-docs_b = packed.filter(is_doc).select("doc_id", "doc_len", "shard").join(doc_attrs(pages), "doc_id")
+docs_b = packed.filter(is_doc).select("doc_id", "doc_len", "shard", "url")
 (docs_b.repartition("shard").sortWithinPartitions("doc_id")
  .write.mode("overwrite").partitionBy("shard").parquet(seg_dir + "/docs"))
 t = tick("docs_write", t)
