@@ -203,40 +203,47 @@ def token_rows_with_doc(pages: DataFrame) -> DataFrame:
     Zero-token docs yield just the marker (doc_len = -1), so the docs
     table still records them.
 
-    Doc identity rides the marker row too: url (and warc_ts as unix
-    micros ``warc_us`` — int64 keeps timestamps out of the Arrow kernel)
-    are set ONLY on marker rows and null on the ~doc_len-times-more
-    token rows, so the shuffle pays one url per DOC, not per token, and
-    the docs table needs no second pages scan or join at write time.
+    Doc identity rides the marker row too, ENCODED IN ITS TERM VALUE:
+    ``"\n" + url + "\n" + unix_micros(warc_ts)`` (empty micros when the
+    pages table has no warc_ts). A newline can appear in neither a
+    tokenizer term (terms are letter/digit runs) nor a url (WARC target
+    URIs are single header lines), so marker terms can never collide
+    with real terms — and the wide stream needs NO extra nullable
+    columns: a nullable url column on the ~doc_len-times-more token rows
+    costs offsets + null slots on every posting row (~45% extra Arrow
+    transfer, measured), while the encoded marker pays only one string
+    per doc. The docs table therefore needs no second pages scan or
+    join at write time.
     """
     has_ts = "warc_ts" in pages.columns
-    sel = [
-        F.xxhash64("url").alias("doc_id"),
+    marker = F.concat(
+        F.lit("\n"),
         F.col("url"),
+        F.lit("\n"),
+        (
+            F.coalesce(F.unix_micros(F.col("warc_ts")).cast("string"), F.lit(""))
+            if has_ts
+            else F.lit("")
+        ),
+    )
+    base = pages.select(
+        F.xxhash64("url").alias("doc_id"),
+        marker.alias("_marker"),
         tokens_column(F.col("url"), F.col("text")).alias("toks"),
-    ]
-    if has_ts:
-        sel.append(F.unix_micros(F.col("warc_ts")).alias("warc_us"))
-    base = pages.select(*sel).select(
+    ).select(
         "doc_id",
-        "url",
         F.size("toks").alias("_toksz"),
         F.explode(
-            F.concat(F.array(F.lit(None).cast("string")), F.col("toks"))
+            F.concat(F.array(F.col("_marker")), F.col("toks"))
         ).alias("term"),
-        *(["warc_us"] if has_ts else []),
     )
-    is_marker = F.col("term").isNull()
+    is_marker = F.col("term").startswith("\n")
     sz = F.col("_toksz")
-    out = [
+    return base.select(
         "doc_id",
         F.when(is_marker, -sz - 1).otherwise(sz).alias("doc_len"),
         "term",
-        F.when(is_marker, F.col("url")).alias("url"),
-    ]
-    if has_ts:
-        out.append(F.when(is_marker, F.col("warc_us")).alias("warc_us"))
-    return base.select(*out)
+    )
 
 
 def doc_attrs(pages: DataFrame) -> DataFrame:

@@ -159,31 +159,35 @@ def _pack_stream_arrow(
             return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
         if emit_docs:
-            # doc-marker rows: null term, doc_len stored as -(len)-1;
-            # url / warc_us carried on the marker row only
+            # doc-marker rows (doc_len stored as -(len)-1): the term
+            # value encodes doc identity as "\n" + url + "\n" + micros
+            # (build.token_rows_with_doc) — decode with Arrow C++ string
+            # kernels and drop the rows from the posting stream
             doc_mask = dls < 0
             if doc_mask.any():
                 mask_pa = pa.array(doc_mask)
+                split = pc.split_pattern(pc.filter(term_a, mask_pa), "\n")
+                ts_str = pc.list_element(split, 2)
                 doc_cols = {
                     "__len__": int(doc_mask.sum()),
                     "shard": pa.array(sh[doc_mask].astype(np.int32)),
                     "doc_id": pa.array(ids[doc_mask]),
                     "doc_len": pa.array(
                         (-dls[doc_mask] - 1).astype(np.int32)),
-                    "url": pc.filter(arr("url"), mask_pa),
+                    "url": pc.list_element(split, 1),
+                    "warc_us": pc.cast(
+                        pc.if_else(pc.equal(ts_str, ""), None, ts_str),
+                        pa.int64(),
+                    ),
                 }
-                if "warc_us" in t.column_names:
-                    doc_cols["warc_us"] = pc.filter(arr("warc_us"), mask_pa)
                 out.append(schema_batch(doc_cols))
-        # null-term rows (doc markers) contribute no postings
-        if term_a.null_count:
-            keep = term_a.is_valid()
-            keep_np = np.asarray(keep)
-            term_a = pc.filter(term_a, keep)
-            sh, ids, dls = sh[keep_np], ids[keep_np], dls[keep_np]
-            if tf_np is not None:
-                tf_np = tf_np[keep_np]
-            n = len(term_a)
+                keep = ~doc_mask
+                keep_pa = pa.array(keep)
+                term_a = pc.filter(term_a, keep_pa)
+                sh, ids, dls = sh[keep], ids[keep], dls[keep]
+                if tf_np is not None:
+                    tf_np = tf_np[keep]
+                n = len(term_a)
 
         if n == 0:
             return out
@@ -356,6 +360,7 @@ def pack_and_write(
     write_terms: bool = False,
     io: SegmentIO = DEFAULT_IO,
     max_row_postings: int | None = None,
+    with_warc_ts: bool = False,
 ) -> None:
     """Pack flat postings (+ docs rows) into segment tables under seg_dir
     and append per-shard lineage.
@@ -379,7 +384,6 @@ def pack_and_write(
     has_tf = "tf" in flat.columns
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     single_pass = docs is None
-    has_ts = "warc_us" in flat.columns
     # persist the packed frame: it is the *compressed* index (orders of
     # magnitude smaller than the flat postings) and every downstream
     # table — postings, docs (single-pass), lineage metrics, terms — is a
@@ -403,18 +407,13 @@ def pack_and_write(
             max_row_postings=max_row_postings, emit_docs=True,
         )
         tbucket = F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)).cast("int")
-        # url / warc_us are null on every token row and set on the one
-        # marker row per doc — including them in the grouping keys is
-        # free (constant within each group) and carries doc identity
-        # through the aggregation
-        id_cols = ["url"] + (["warc_us"] if has_ts else [])
         pre = (
             flat.withColumn("tbucket", tbucket)
             .repartition(npart, F.col("shard"), F.col("tbucket"))
-            .groupBy("shard", "tbucket", "doc_id", "doc_len", "term", *id_cols)
+            .groupBy("shard", "tbucket", "doc_id", "doc_len", "term")
             .agg(F.count("*").cast("int").alias("tf"))
             .sortWithinPartitions("shard", "term", u64sort)
-            .select("doc_id", "doc_len", "term", "tf", *id_cols)
+            .select("doc_id", "doc_len", "term", "tf")
         )
     else:
         # merge path: tf arrives pre-counted from the unpacked segments;
@@ -460,7 +459,7 @@ def pack_and_write(
                 "url",
                 *(
                     [F.timestamp_micros(F.col("warc_us")).alias("warc_ts")]
-                    if has_ts
+                    if with_warc_ts
                     else []
                 ),
             )
@@ -622,6 +621,7 @@ def build_segment(
         pack_and_write(
             spark, flat, None, seg_dir, n_shards, n_tbuckets, shards=batch,
             write_terms=one_shot, io=io, max_row_postings=max_row_postings,
+            with_warc_ts="warc_ts" in pages.columns,
         )
 
     if todo and not (not done and len(todo) <= shards_per_batch):

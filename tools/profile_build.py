@@ -64,15 +64,14 @@ flat = token_rows_with_doc(pages).withColumn("shard", shard_of_doc_id(n_shards))
 kernel = _pack_stream_arrow(has_tf=True, n_shards=n_shards, emit_docs=True)
 npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 tbucket = F.pmod(F.xxhash64("term"), F.lit(n_tbuckets)).cast("int")
-id_cols = ["url"] + (["warc_us"] if "warc_us" in flat.columns else [])
 packed = (
     flat.withColumn("tbucket", tbucket)
     .repartition(npart, F.col("shard"), F.col("tbucket"))
-    .groupBy("shard", "tbucket", "doc_id", "doc_len", "term", *id_cols)
+    .groupBy("shard", "tbucket", "doc_id", "doc_len", "term")
     .agg(F.count("*").cast("int").alias("tf"))
     .sortWithinPartitions("shard", "term",
                           F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP)))
-    .select("doc_id", "doc_len", "term", "tf", *id_cols)
+    .select("doc_id", "doc_len", "term", "tf")
     .mapInArrow(kernel, PACK_STREAM_SCHEMA)
     .persist()
 )
