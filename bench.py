@@ -32,6 +32,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# 4g heap unless the caller overrides: this sandbox host only keeps
+# ~8-10 GB of guest pages resident (BASELINE.md hardware context); a
+# 16g heap's allocation churn crosses that budget and measured the SAME
+# 32-core index build 2.4x slower. On real hardware this is irrelevant.
+os.environ.setdefault("SPARK_DRIVER_MEM", "4g")
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
