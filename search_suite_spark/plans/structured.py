@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from search_suite_spark.operators.build import InvertedIndex
-from search_suite_spark.operators.query import unscored_ids
+from search_suite_spark.operators.query import parse_query_terms, unscored_ids
 
 
 @dataclass
@@ -173,10 +173,46 @@ def evaluate_structured(
     if isinstance(clause, ClauseRegex):
         return unscored_ids(index, clause.pattern, mode="regex")
     assert isinstance(clause, Conjunction)
+    if clause.op == "and" and all(
+        isinstance(c, ClauseText) for c in clause.children
+    ):
+        # AND of text leaves ≡ one conjunctive query over the union of
+        # their terms — ONE isin-pruned scan instead of a semi-join per
+        # child (a doc matches every child iff every term matches)
+        merged = " ".join(c.text for c in clause.children)
+        return unscored_ids(index, merged, present_terms=_present)
     if clause.op == "or":
-        acc = evaluate_structured(index, clause.children[0], _present)
-        for c in clause.children[1:]:
-            acc = acc.unionByName(evaluate_structured(index, c, _present))
+        # single-term text children fold into ONE disjunctive scan
+        # (isin over their union — the k-way posting union of Q9);
+        # multi-term / regex / nested children evaluate individually
+        singles: list[str] = []
+        rest: list[Clause] = []
+        for c in clause.children:
+            terms = (
+                set(parse_query_terms(c.text))
+                if isinstance(c, ClauseText)
+                else None
+            )
+            if terms is not None and len(terms) == 1:
+                singles.append(next(iter(terms)))
+            else:
+                rest.append(c)
+        parts: list[DataFrame] = []
+        found = sorted(t for t in set(singles) if t in _present)
+        if found:
+            parts.append(
+                index.live_postings()
+                .filter(F.col("term").isin(found))
+                .select("doc_id")
+            )
+        parts.extend(evaluate_structured(index, c, _present) for c in rest)
+        if not parts:
+            return index.postings.sparkSession.createDataFrame(
+                [], "doc_id long"
+            )
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
         return acc.distinct()
     acc = evaluate_structured(index, clause.children[0], _present)
     how = "left_semi" if clause.op == "and" else "left_anti"
