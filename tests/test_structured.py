@@ -80,3 +80,28 @@ def test_regex_leaf_eval(idx):
     # terms starting with 'ba' or 'du' → banana/durian docs
     q = "~ ^(ba|du)"
     assert urls(structured_query(idx, q)) == {"u1", "u2", "u3"}
+
+
+def test_or_with_multi_term_child(idx):
+    # 'apple banana' is a CONJUNCTIVE leaf (both terms) — it must NOT
+    # fold into the single-term isin collapse; OR result is its docs
+    # union elderberry's
+    q = "\\/ apple banana\n\\/ elderberry"
+    assert urls(structured_query(idx, q)) == {"u1", "u2", "u4"}
+
+
+def test_or_all_terms_missing(idx):
+    q = "\\/ zzznope\n\\/ qqqmissing"
+    assert urls(structured_query(idx, q)) == set()
+
+
+def test_and_of_text_leaves_collapses_to_conjunction(idx):
+    # AND of text leaves == conjunction over the union of their terms
+    q = "/\\ apple banana\n/\\ cherry"
+    assert urls(structured_query(idx, q)) == {"u1"}
+
+
+def test_sub_with_missing_term(idx):
+    # subtracting a missing term removes nothing
+    q = "-- apple\n-- zzznope"
+    assert urls(structured_query(idx, q)) == {"u1", "u2", "u3"}
