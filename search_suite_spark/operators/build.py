@@ -204,27 +204,30 @@ def token_rows_with_doc(pages: DataFrame) -> DataFrame:
     table still records them.
 
     Doc identity rides the marker row too, ENCODED IN ITS TERM VALUE:
-    ``"\n" + url + "\n" + unix_micros(warc_ts)`` (empty micros when the
-    pages table has no warc_ts). A newline can appear in neither a
-    tokenizer term (terms are letter/digit runs) nor a url (WARC target
-    URIs are single header lines), so marker terms can never collide
-    with real terms — and the wide stream needs NO extra nullable
-    columns: a nullable url column on the ~doc_len-times-more token rows
-    costs offsets + null slots on every posting row (~45% extra Arrow
-    transfer, measured), while the encoded marker pays only one string
-    per doc. The docs table therefore needs no second pages scan or
-    join at write time.
+    ``"\n" + unix_micros(warc_ts) + "\n" + url`` (empty micros when the
+    pages table has no warc_ts). A newline can never appear in a
+    tokenizer term (terms are letter/digit runs), so marker terms can
+    never collide with real terms. The url goes LAST so the decoder can
+    split on at most two newlines and keep the remainder verbatim —
+    WARC target URIs are single header lines, but user-supplied pages
+    frames can carry newline-bearing urls, and those must round-trip
+    byte-identically into the docs table. The wide stream needs NO
+    extra nullable columns: a nullable url column on the
+    ~doc_len-times-more token rows costs offsets + null slots on every
+    posting row (~45% extra Arrow transfer, measured), while the
+    encoded marker pays only one string per doc. The docs table
+    therefore needs no second pages scan or join at write time.
     """
     has_ts = "warc_ts" in pages.columns
     marker = F.concat(
-        F.lit("\n"),
-        F.col("url"),
         F.lit("\n"),
         (
             F.coalesce(F.unix_micros(F.col("warc_ts")).cast("string"), F.lit(""))
             if has_ts
             else F.lit("")
         ),
+        F.lit("\n"),
+        F.col("url"),
     )
     base = pages.select(
         F.xxhash64("url").alias("doc_id"),

@@ -51,10 +51,19 @@ from search_suite_spark.sources.segments import Segment
 
 RESULT_SCHEMA = "doc_id long, score double, term_count int"
 
-# observability hook for tests: kernels accumulate (tf/dl blocks decoded,
-# tf/dl blocks total) here when run in-process (local mode runs kernels in
-# the driver's Python workers, so tests can read it after .collect())
+# observability hook: kernels accumulate (tf/dl blocks decoded, tf/dl
+# blocks total) here. ALWAYS access it through _stats_dict(): closures
+# shipped to executors are cloudpickled BY VALUE with a synthetic copy
+# of their globals, while classes like _BlockCache arrive by reference
+# and see the worker's real module — a direct global reference would
+# split writers across two dicts and silently under-count.
 DECODE_STATS: dict[str, int] = {"blocks_decoded": 0, "blocks_total": 0}
+
+
+def _stats_dict() -> dict[str, int]:
+    from search_suite_spark.operators import wand
+
+    return wand.DECODE_STATS
 
 
 def _idf(n_docs: int, df: float) -> float:
@@ -91,11 +100,18 @@ class _TermList:
         self.row_block_off = np.concatenate(
             ([0], np.cumsum([x.size for x in per_row]))
         ).astype(np.int64)
+        self._meta: dict[str, np.ndarray] = {}
 
     def meta(self, name: str) -> np.ndarray:
-        return np.concatenate(
-            [np.asarray(r[name], dtype=np.int64) for r in self.rows]
-        )
+        # memoized: phase 3 reads two metadata arrays per term per kernel
+        # call, and split rows multiply the concat cost at scale
+        m = self._meta.get(name)
+        if m is None:
+            m = np.concatenate(
+                [np.asarray(r[name], dtype=np.int64) for r in self.rows]
+            )
+            self._meta[name] = m
+        return m
 
     def _by_row(self, global_blocks: np.ndarray):
         gb = np.asarray(global_blocks, dtype=np.int64)
@@ -136,7 +152,7 @@ class _BlockCache:
         )
         if missing.size == 0:
             return
-        DECODE_STATS["blocks_decoded"] += int(missing.size)
+        _stats_dict()["blocks_decoded"] += int(missing.size)
         for ri, local in self.tl._by_row(missing):
             ids, tfs, dls, pos = unpack_blocks(self.tl.rows[ri], local)
             off = int(self.tl.row_block_off[ri])
@@ -179,13 +195,16 @@ def _shard_kernel(terms_meta, n_docs, avgdl, k):
         if present != set(terms_meta):
             # some query term has no postings in this shard → empty AND
             return _empty_result()
-        by_term: dict[str, list] = {}
-        for _, r in pdf.iterrows():
-            by_term.setdefault(r["term"], []).append(r)
-        lists = {t: _TermList(rs) for t, rs in by_term.items()}
+        # vectorized row grouping: to_dict('records') hands each row to
+        # _TermList as a plain dict (iterrows built a pandas Series per
+        # row — measurably slower once split rows multiply the row count)
+        lists = {
+            t: _TermList(g.to_dict("records"))
+            for t, g in pdf.groupby("term", sort=False)
+        }
         # rarest-first by shard-local posting count
         order = sorted(lists, key=lambda t: lists[t].n)
-        DECODE_STATS["blocks_total"] += sum(
+        _stats_dict()["blocks_total"] += sum(
             lists[t].block_last.size for t in order
         )
 
@@ -294,9 +313,26 @@ def wand_scored(
     query: str,
     max_results: int | None = None,
     deletes_broadcast_max: int = DELETES_BROADCAST_MAX,
+    term_dfs: dict[str, int] | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Scored conjunctive query over a packed segment → (url, score,
-    term_count), rank-identical to the flat path (tests enforce it)."""
+    term_count), rank-identical to the flat path (tests enforce it).
+
+    ``term_dfs``: precomputed {term: global df} covering (at least) every
+    query term present in this segment's dictionary — callers querying
+    MANY segments (registry.query_collection) batch all segments'
+    dictionary lookups into one tagged-union job and pass each segment's
+    slice here, instead of paying one driver round-trip per segment.
+
+    ``stats``: pass a dict to receive two Spark ACCUMULATORS under keys
+    'blocks_decoded' / 'blocks_total' — executor-side counts of tf/dl
+    blocks the kernels decoded vs held, readable (``.value``) after an
+    action. This is the end-to-end transfer-proportionality evidence:
+    decoded ≪ total on a top-k query means the engine moved only the
+    blocks the block-max bound could not prune (the Spark analogue of
+    the reference's mmap-granularity reads, index_reader.rs:271-311).
+    """
     spark = seg.postings.sparkSession
     q_terms = normalise(query)
     empty = spark.createDataFrame([], "url string, score double, term_count int")
@@ -307,7 +343,11 @@ def wand_scored(
     rows = seg.postings.filter(F.col("term").isin(list(multiplicity)))
 
     # global df per term from the dictionary table (Q1 term lookup)
-    dfs = seg.term_dfs(list(multiplicity))
+    dfs = (
+        {t: term_dfs[t] for t in multiplicity if t in term_dfs}
+        if term_dfs is not None
+        else seg.term_dfs(list(multiplicity))
+    )
     if len(dfs) < len(multiplicity):
         return empty  # fast abort: a query term is missing (query.rs:34-40)
 
@@ -317,13 +357,37 @@ def wand_scored(
     deletes_df = None
     if seg.deletes is not None:
         d = seg.deletes.select("doc_id").distinct()
-        if d.count() <= deletes_broadcast_max:
+        # segment metadata carries a row-count upper bound for the
+        # deletes table (parquet footer sum, read once at read_segment
+        # time) — distinct ≤ rows, so routing on the hint is
+        # conservative-safe and saves a per-query driver count() job
+        n_del = (
+            seg.n_deletes_hint
+            if seg.n_deletes_hint is not None
+            else d.count()
+        )
+        if n_del <= deletes_broadcast_max:
             vals = [r["doc_id"] for r in d.collect()]
             deleted = np.sort(np.array(vals, dtype=np.int64).view(np.uint64))
         else:
             deletes_df = d
 
     kernel = _shard_kernel(terms_meta, seg.num_docs, seg.avgdl, max_results)
+    if stats is not None:
+        acc_dec = spark.sparkContext.accumulator(0)
+        acc_tot = spark.sparkContext.accumulator(0)
+        stats["blocks_decoded"] = acc_dec
+        stats["blocks_total"] = acc_tot
+        inner = kernel
+
+        def kernel(pdf, deleted_ids, _inner=inner):
+            sd = _stats_dict()
+            d0, t0 = sd["blocks_decoded"], sd["blocks_total"]
+            out = _inner(pdf, deleted_ids)
+            acc_dec.add(sd["blocks_decoded"] - d0)
+            acc_tot.add(sd["blocks_total"] - t0)
+            return out
+
     if deletes_df is None:
         cands = rows.groupBy("shard").applyInPandas(
             lambda pdf: kernel(pdf, deleted), RESULT_SCHEMA
@@ -334,6 +398,15 @@ def wand_scored(
         # the postings rows and each kernel sees only its shard's slice
         from search_suite_spark.sources.segments import shard_of_doc_id
 
+        if seg.n_shards <= 0:
+            # pmod(doc_id, 0) yields nulls → deletes silently mis-shard
+            # and deleted docs come back. n_shards is lineage-derived
+            # (read_segment); a hand-built Segment must set it.
+            raise ValueError(
+                "cogrouped deletes need Segment.n_shards > 0 "
+                f"(got {seg.n_shards}); read the segment via read_segment "
+                "or raise deletes_broadcast_max"
+            )
         del_sharded = deletes_df.withColumn(
             "shard", shard_of_doc_id(seg.n_shards)
         )

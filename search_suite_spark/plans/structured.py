@@ -141,8 +141,58 @@ def _text_leaf_terms(clause: Clause) -> set[str]:
     return set()
 
 
+def _regex_leaf_patterns(clause: Clause) -> set[str]:
+    """All regex patterns across every ClauseRegex leaf of the tree."""
+    if isinstance(clause, ClauseRegex):
+        return {clause.pattern}
+    if isinstance(clause, Conjunction):
+        out: set[str] = set()
+        for c in clause.children:
+            out |= _regex_leaf_patterns(c)
+        return out
+    return set()
+
+
+# the previous tree's persisted regex-match frame, unpersisted when the
+# next tree builds its own — bounds cache growth to one query's slice of
+# the dictionary without requiring callers to manage lifetimes
+_PREV_REGEX_SCAN: list[DataFrame] = []
+
+
+def _batched_regex_terms(
+    index: InvertedIndex, patterns: list[str]
+) -> dict[str, DataFrame]:
+    """ONE dictionary scan covering every ClauseRegex pattern in a tree:
+    each pattern becomes a literal rlike flag column (compiled once by
+    codegen — a column-typed pattern would recompile per row), rows
+    matching any pattern are kept and lazily persisted, and each leaf
+    reads its own flag. The reference spawns one process per leaf
+    (Query/StructuredProcessor.hs:113-118); without batching, a tree
+    with R regex leaves embeds R independent dictionary scans in the
+    final plan. Matched terms stay distributed (never collected — a
+    broad pattern over a web-scale dictionary matches millions)."""
+    for df in _PREV_REGEX_SCAN:
+        df.unpersist()
+    _PREV_REGEX_SCAN.clear()
+    flags = [
+        F.col("term").rlike(p).alias(f"_m{i}") for i, p in enumerate(patterns)
+    ]
+    keep = F.col("_m0")
+    for i in range(1, len(patterns)):
+        keep = keep | F.col(f"_m{i}")
+    matched = index.terms.select("term", *flags).filter(keep).persist()
+    _PREV_REGEX_SCAN.append(matched)
+    return {
+        p: matched.filter(F.col(f"_m{i}")).select("term")
+        for i, p in enumerate(patterns)
+    }
+
+
 def evaluate_structured(
-    index: InvertedIndex, clause: Clause, _present: set[str] | None = None
+    index: InvertedIndex,
+    clause: Clause,
+    _present: set[str] | None = None,
+    _regex: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Clause tree → DataFrame of distinct doc_ids in the result set.
 
@@ -154,7 +204,9 @@ def evaluate_structured(
     The fast-abort dictionary probe (query.rs:34-40) is batched: ONE
     isin-pruned dictionary job covers every ClauseText leaf's terms — a
     deep clause tree otherwise serializes one driver-blocking count()
-    job of pure submit latency per leaf.
+    job of pure submit latency per leaf. Regex leaves batch the same
+    way: one flag-column dictionary scan covers every pattern
+    (_batched_regex_terms).
     """
     if _present is None:
         all_terms = sorted(_text_leaf_terms(clause))
@@ -168,9 +220,23 @@ def evaluate_structured(
             if all_terms
             else set()
         )
+    if _regex is None:
+        patterns = sorted(_regex_leaf_patterns(clause))
+        # a single regex leaf is already one scan — batch only trees
+        # that would otherwise embed several independent scans
+        _regex = (
+            _batched_regex_terms(index, patterns) if len(patterns) > 1 else {}
+        )
     if isinstance(clause, ClauseText):
         return unscored_ids(index, clause.text, present_terms=_present)
     if isinstance(clause, ClauseRegex):
+        if clause.pattern in _regex:
+            return (
+                index.live_postings()
+                .join(_regex[clause.pattern], "term", "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
         return unscored_ids(index, clause.pattern, mode="regex")
     assert isinstance(clause, Conjunction)
     if clause.op == "and" and all(
@@ -178,7 +244,14 @@ def evaluate_structured(
     ):
         # AND of text leaves ≡ one conjunctive query over the union of
         # their terms — ONE isin-pruned scan instead of a semi-join per
-        # child (a doc matches every child iff every term matches)
+        # child (a doc matches every child iff every term matches).
+        # A child whose text normalizes to ZERO terms (e.g. "!!!") is an
+        # empty doc set, so the whole AND is empty — the merged query
+        # would silently drop that child's constraint instead.
+        if any(not parse_query_terms(c.text) for c in clause.children):
+            return index.postings.sparkSession.createDataFrame(
+                [], "doc_id long"
+            )
         merged = " ".join(c.text for c in clause.children)
         return unscored_ids(index, merged, present_terms=_present)
     if clause.op == "or":
@@ -205,7 +278,9 @@ def evaluate_structured(
                 .filter(F.col("term").isin(found))
                 .select("doc_id")
             )
-        parts.extend(evaluate_structured(index, c, _present) for c in rest)
+        parts.extend(
+            evaluate_structured(index, c, _present, _regex) for c in rest
+        )
         if not parts:
             return index.postings.sparkSession.createDataFrame(
                 [], "doc_id long"
@@ -214,10 +289,12 @@ def evaluate_structured(
         for p in parts[1:]:
             acc = acc.unionByName(p)
         return acc.distinct()
-    acc = evaluate_structured(index, clause.children[0], _present)
+    acc = evaluate_structured(index, clause.children[0], _present, _regex)
     how = "left_semi" if clause.op == "and" else "left_anti"
     for c in clause.children[1:]:
-        acc = acc.join(evaluate_structured(index, c, _present), "doc_id", how)
+        acc = acc.join(
+            evaluate_structured(index, c, _present, _regex), "doc_id", how
+        )
     return acc
 
 

@@ -236,6 +236,42 @@ def collection_doc_status(
     )
 
 
+def collection_term_dfs(
+    seg_list: list[Segment], terms: list[str]
+) -> list[dict[str, int]]:
+    """Batched Q1 dictionary lookup across segments: ONE tagged-union
+    job covering every segment's (term, df) rows for the query terms,
+    instead of one driver round-trip per segment (the reference fans the
+    per-segment lookups out concurrently, QueryProcessor.hs:72; Spark's
+    equivalent of concurrency here is a single union plan). Returns one
+    {term: df} dict per segment, positionally."""
+    out: list[dict[str, int]] = [{} for _ in seg_list]
+    if not terms or not seg_list:
+        return out
+    parts = []
+    for i, s in enumerate(seg_list):
+        src = (
+            s.terms.filter(F.col("term").isin(terms)).select("term", "df")
+            if s.terms is not None
+            else s.postings.filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+        )
+        parts.append(
+            src.select(
+                F.lit(i).alias("_seg"),
+                "term",
+                F.col("df").cast("long").alias("df"),
+            )
+        )
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    for r in allr.collect():
+        out[r["_seg"]][r["term"]] = int(r["df"])
+    return out
+
+
 def query_collection(
     segs: dict[str, Segment] | list[Segment],
     query: str,
@@ -243,13 +279,25 @@ def query_collection(
 ) -> DataFrame:
     """Scored query across all segments (Q12, QueryProcessor.hs:61-152):
     per-segment top-k with segment-local stats, then a global merge that
-    dedupes urls keeping the max score and re-sorts by exact score."""
+    dedupes urls keeping the max score and re-sorts by exact score.
+
+    Driver round-trips are batched: all segments' dictionary lookups run
+    as ONE job (collection_term_dfs), and the deletes-volume routing
+    reads each segment's metadata hint — an N-segment collection pays
+    one dictionary job + one result job per query, not N+1 sequential
+    submits."""
+    from search_suite_spark.functions.normalise import normalise
     from search_suite_spark.operators.wand import wand_scored
 
     seg_list = list(segs.values()) if isinstance(segs, dict) else list(segs)
     if not seg_list:
         raise ValueError("empty collection")
-    parts = [wand_scored(s, query, max_results=max_results) for s in seg_list]
+    q_terms = sorted(set(normalise(query)))
+    dfs_list = collection_term_dfs(seg_list, q_terms)
+    parts = [
+        wand_scored(s, query, max_results=max_results, term_dfs=dfs_list[i])
+        for i, s in enumerate(seg_list)
+    ]
     allr = parts[0]
     for p in parts[1:]:
         allr = allr.unionByName(p)

@@ -39,7 +39,13 @@ ICEBERG_LAYOUT = {
 
 
 class SegmentIO:
-    """Interface: segment table reads/writes under a segment directory."""
+    """Interface: segment table reads/writes under a segment directory.
+
+    ``write_postings`` / ``write_docs`` with mode='overwrite' must
+    implement DYNAMIC partition-overwrite semantics on shard: only the
+    shards present in the written frame are replaced (the resume
+    contract — build_segment re-runs batches of shards idempotently).
+    """
 
     def write_postings(self, df: DataFrame, seg_dir: str, mode: str) -> None:
         raise NotImplementedError
@@ -70,6 +76,14 @@ class SegmentIO:
 
     def read_deletes(self, spark: SparkSession, seg_dir: str) -> DataFrame | None:
         raise NotImplementedError
+
+    def deletes_count(self, spark: SparkSession, seg_dir: str) -> int | None:
+        """Cheap ROW-COUNT upper bound for the deletes table (e.g. from
+        parquet footers / catalog stats — no Spark job). None = unknown;
+        queries then fall back to a count() job. Used to route between
+        the broadcast and cogrouped delete-filter paths (operators/wand)
+        without a per-query driver round-trip."""
+        return None
 
 
 class ParquetSegmentIO(SegmentIO):
@@ -149,6 +163,201 @@ class ParquetSegmentIO(SegmentIO):
         except Exception:
             return None
 
+    def deletes_count(self, spark: SparkSession, seg_dir: str) -> int | None:
+        return _footer_row_count(os.path.join(seg_dir, "deletes"))
+
+
+def _footer_row_count(table_dir: str) -> int:
+    """Sum parquet-footer num_rows under a directory — driver-side file
+    metadata only, no Spark job (the Iceberg analogue is a snapshot
+    summary read). Counts rows, not distinct keys: callers use it as an
+    upper bound."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(table_dir):
+        return 0
+    n = 0
+    for root, _, files in os.walk(table_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(root, f)).num_rows
+    return n
+
+
+class ManifestSegmentIO(SegmentIO):
+    """Manifest-file segment store — the second concrete SegmentIO.
+
+    Mimics Iceberg's metadata model on plain files: readers never list
+    directories; each table carries a ``manifest.json`` naming its live
+    data directories, and every commit is (write new immutable data dirs)
+    → (atomically replace the manifest via rename). Shard identity for
+    postings/docs is tracked IN THE MANIFEST (shard → data dirs), so
+    dynamic shard overwrite — the resume contract — is a pure metadata
+    swap, and crash-interrupted writes leave orphan dirs that are never
+    referenced (exactly Iceberg's uncommitted-snapshot behavior).
+
+    Physical layout intent matches ICEBERG_LAYOUT: postings/docs written
+    per shard (one commit dir per write, hive-split by a duplicated
+    partition column so each leaf dir is shard-pure), term/doc_id-sorted
+    within files; shard survives as a DATA column so reads need no
+    partition-path parsing.
+    """
+
+    _SHARDED = {"postings": "term", "docs": "doc_id"}  # table → file sort
+
+    def _mf_path(self, seg_dir: str, table: str) -> str:
+        return os.path.join(seg_dir, table, "manifest.json")
+
+    def _load(self, seg_dir: str, table: str) -> dict:
+        import json
+
+        try:
+            with open(self._mf_path(seg_dir, table)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"shards": {}, "commits": []}
+
+    def _store(self, seg_dir: str, table: str, mf: dict) -> None:
+        import json
+
+        path = self._mf_path(seg_dir, table)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(mf, f)
+        os.replace(tmp, path)  # atomic manifest swap = the commit point
+
+    def _next_commit(self, seg_dir: str, table: str) -> str:
+        tdir = os.path.join(seg_dir, table)
+        existing = set(os.listdir(tdir)) if os.path.isdir(tdir) else set()
+        i = 0
+        while f"commit-{i:06d}" in existing:
+            i += 1
+        return f"commit-{i:06d}"
+
+    def _live_paths(self, seg_dir: str, table: str) -> list[str]:
+        mf = self._load(seg_dir, table)
+        rels: list[str] = list(mf.get("commits", []))
+        for dirs in mf.get("shards", {}).values():
+            rels.extend(dirs)
+        return [os.path.join(seg_dir, table, r) for r in rels]
+
+    def _write_sharded(
+        self, df: DataFrame, seg_dir: str, table: str, mode: str
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        sort_col = self._SHARDED[table]
+        commit = self._next_commit(seg_dir, table)
+        abs_commit = os.path.join(seg_dir, table, commit)
+        (
+            df.withColumn("_p_shard", F.col("shard"))
+            .repartition("shard")
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .partitionBy("_p_shard")
+            .parquet(abs_commit)
+        )
+        # leaf dirs are shard-pure; record them per shard in the manifest
+        written: dict[str, list[str]] = {}
+        for name in sorted(os.listdir(abs_commit)):
+            if name.startswith("_p_shard="):
+                shard = name.split("=", 1)[1]
+                written.setdefault(shard, []).append(
+                    os.path.join(commit, name)
+                )
+        mf = self._load(seg_dir, table)
+        shards = mf.setdefault("shards", {})
+        for shard, dirs in written.items():
+            if mode == "append":
+                shards.setdefault(shard, []).extend(dirs)
+            else:  # dynamic overwrite: replace only the written shards
+                shards[shard] = dirs
+        self._store(seg_dir, table, mf)
+
+    def _append_commit(self, df: DataFrame, seg_dir: str, table: str) -> None:
+        commit = self._next_commit(seg_dir, table)
+        df.write.mode("overwrite").parquet(
+            os.path.join(seg_dir, table, commit)
+        )
+        mf = self._load(seg_dir, table)
+        mf.setdefault("commits", []).append(commit)
+        self._store(seg_dir, table, mf)
+
+    def _read(self, spark, seg_dir, table, schema=None, empty_schema=None):
+        paths = self._live_paths(seg_dir, table)
+        if not paths:
+            if empty_schema is not None:
+                return spark.createDataFrame([], empty_schema)
+            raise FileNotFoundError(
+                f"no manifest for table {table!r} under {seg_dir}"
+            )
+        reader = spark.read.schema(schema) if schema else spark.read
+        return reader.parquet(*paths)
+
+    def write_postings(self, df: DataFrame, seg_dir: str, mode: str) -> None:
+        self._write_sharded(df, seg_dir, "postings", mode)
+
+    def write_docs(self, df: DataFrame, seg_dir: str, mode: str) -> None:
+        self._write_sharded(df, seg_dir, "docs", mode)
+
+    def append_lineage(self, df: DataFrame, seg_dir: str) -> None:
+        self._append_commit(df, seg_dir, "lineage")
+
+    def write_terms(self, df: DataFrame, seg_dir: str) -> None:
+        # replace = write new dirs, point the manifest at ONLY them
+        commit = self._next_commit(seg_dir, "terms")
+        df.sortWithinPartitions("term").write.mode("overwrite").parquet(
+            os.path.join(seg_dir, "terms", commit)
+        )
+        self._store(seg_dir, "terms", {"commits": [commit]})
+
+    def append_deletes(self, df: DataFrame, seg_dir: str) -> None:
+        self._append_commit(df, seg_dir, "deletes")
+
+    def read_postings(self, spark: SparkSession, seg_dir: str) -> DataFrame:
+        from search_suite_spark.sources.segments import PACKED_SCHEMA
+
+        return self._read(
+            spark, seg_dir, "postings",
+            schema=PACKED_SCHEMA, empty_schema=PACKED_SCHEMA,
+        )
+
+    def read_docs(self, spark: SparkSession, seg_dir: str) -> DataFrame:
+        return self._read(
+            spark, seg_dir, "docs",
+            empty_schema="doc_id long, doc_len int, shard int, url string",
+        )
+
+    def read_lineage(self, spark: SparkSession, seg_dir: str) -> DataFrame:
+        return self._read(spark, seg_dir, "lineage")
+
+    def read_terms(self, spark: SparkSession, seg_dir: str) -> DataFrame | None:
+        try:
+            paths = self._live_paths(seg_dir, "terms")
+        except FileNotFoundError:
+            return None
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def read_deletes(self, spark: SparkSession, seg_dir: str) -> DataFrame | None:
+        paths = self._live_paths(seg_dir, "deletes")
+        if not paths:
+            return None
+        try:
+            return spark.read.parquet(*paths)
+        except Exception:
+            return None
+
+    def deletes_count(self, spark: SparkSession, seg_dir: str) -> int | None:
+        import pyarrow.parquet as pq
+
+        n = 0
+        for p in self._live_paths(seg_dir, "deletes"):
+            n += _footer_row_count(p) if os.path.isdir(p) else 0
+        return n
+
 
 class IcebergSegmentIO(SegmentIO):
     """Production catalog impl — requires Iceberg runtime jars, which
@@ -196,3 +405,28 @@ class IcebergSegmentIO(SegmentIO):
 
 
 DEFAULT_IO: SegmentIO = ParquetSegmentIO()
+
+# the process-wide ACTIVE impl: engine entry points default their ``io``
+# parameter to current_io() (not DEFAULT_IO — a def-time default would
+# freeze the object and make the seam untestable). tests/conftest.py
+# parametrizes the whole storage-touching suite over implementations by
+# swapping this.
+_CURRENT_IO: SegmentIO = DEFAULT_IO
+
+_NAMED = {"parquet": ParquetSegmentIO, "manifest": ManifestSegmentIO}
+
+
+def make_io(name: str) -> SegmentIO:
+    return _NAMED[name]()
+
+
+def current_io() -> SegmentIO:
+    return _CURRENT_IO
+
+
+def set_current_io(io: SegmentIO | None) -> SegmentIO:
+    """Swap the active impl; returns the previous one (restore in tests)."""
+    global _CURRENT_IO
+    old = _CURRENT_IO
+    _CURRENT_IO = io if io is not None else DEFAULT_IO
+    return old

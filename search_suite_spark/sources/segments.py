@@ -48,7 +48,7 @@ from search_suite_spark.operators.build import (
     dedupe_newest_wins,
     token_rows_with_doc,
 )
-from search_suite_spark.sources.segment_io import DEFAULT_IO, SegmentIO
+from search_suite_spark.sources.segment_io import SegmentIO, current_io
 
 PACKED_SCHEMA = (
     "term string, shard int, n long, ids binary, tfs binary, dls binary, "
@@ -160,21 +160,25 @@ def _pack_stream_arrow(
 
         if emit_docs:
             # doc-marker rows (doc_len stored as -(len)-1): the term
-            # value encodes doc identity as "\n" + url + "\n" + micros
+            # value encodes doc identity as "\n" + micros + "\n" + url
             # (build.token_rows_with_doc) — decode with Arrow C++ string
-            # kernels and drop the rows from the posting stream
+            # kernels and drop the rows from the posting stream. The url
+            # is the unsplit REMAINDER (max_splits=2), so urls with
+            # embedded newlines round-trip byte-identically.
             doc_mask = dls < 0
             if doc_mask.any():
                 mask_pa = pa.array(doc_mask)
-                split = pc.split_pattern(pc.filter(term_a, mask_pa), "\n")
-                ts_str = pc.list_element(split, 2)
+                split = pc.split_pattern(
+                    pc.filter(term_a, mask_pa), "\n", max_splits=2
+                )
+                ts_str = pc.list_element(split, 1)
                 doc_cols = {
                     "__len__": int(doc_mask.sum()),
                     "shard": pa.array(sh[doc_mask].astype(np.int32)),
                     "doc_id": pa.array(ids[doc_mask]),
                     "doc_len": pa.array(
                         (-dls[doc_mask] - 1).astype(np.int32)),
-                    "url": pc.list_element(split, 1),
+                    "url": pc.list_element(split, 2),
                     "warc_us": pc.cast(
                         pc.if_else(pc.equal(ts_str, ""), None, ts_str),
                         pa.int64(),
@@ -320,6 +324,9 @@ class Segment:
     deletes: DataFrame | None
     terms: DataFrame | None = None  # (term, df) dictionary table
     n_shards: int = 0  # from lineage (one row per shard)
+    # row-count upper bound for deletes (parquet footers, no Spark job);
+    # None = unknown → queries fall back to a count() job
+    n_deletes_hint: int | None = None
 
     @property
     def avgdl(self) -> int:
@@ -358,7 +365,7 @@ def pack_and_write(
     shards: list[int] | None = None,
     mode: str = "overwrite",
     write_terms: bool = False,
-    io: SegmentIO = DEFAULT_IO,
+    io: SegmentIO | None = None,
     max_row_postings: int | None = None,
     with_warc_ts: bool = False,
 ) -> None:
@@ -369,8 +376,10 @@ def pack_and_write(
     doc_len) — the merge path, with ``docs`` supplied separately — or raw
     marker-carrying token instances (doc_id, doc_len, term, shard) from
     token_rows_with_doc, in which case ``docs=None``: tf is counted by a
-    map-side partial aggregation that collapses token instances before
-    the build's one exchange, the docs table's (doc_id, doc_len, shard)
+    post-shuffle hash aggregation that collapses token instances before
+    the sort and the Arrow boundary (the build's one exchange itself
+    carries raw token rows — see the plan note at the groupBy below),
+    the docs table's (doc_id, doc_len, shard)
     rows are emitted from the SAME stream via the null-term marker rows,
     which also carry doc identity (url, warc_us) — one tokenize, one
     shuffle, zero follow-up scans or joins for the whole build (a second
@@ -379,6 +388,7 @@ def pack_and_write(
     granularity). ``io`` is the storage seam (segment_io.SegmentIO) —
     every persisted byte goes through it.
     """
+    io = io or current_io()
     t0 = time.monotonic()
 
     has_tf = "tf" in flat.columns
@@ -395,13 +405,19 @@ def pack_and_write(
     # keeping per-row serialization to the columns the kernel needs.
     u64sort = F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP))
     if single_pass:
-        # build path: tf is counted by a hash aggregation whose map-side
-        # partial agg collapses token instances to (doc, term, tf) rows
-        # BEFORE the exchange — the groupBy's keys are a superset of the
-        # repartition keys, so Catalyst reuses the one exchange (no
-        # second shuffle), and everything downstream (shuffle bytes,
-        # sort, Arrow transfer into the kernel) carries ~tf-fold fewer
-        # rows. The null-term doc-marker rows ride along (count 1).
+        # build path: tf is counted by a hash aggregation planned ABOVE
+        # the explicit repartition — its required distribution is already
+        # satisfied by the one exchange, so Catalyst runs BOTH partial
+        # and final HashAggregate after the shuffle (no second exchange,
+        # but the exchange itself still carries raw token rows). The
+        # collapse to (doc, term, tf) therefore pays off in what runs
+        # AFTER the shuffle: the in-partition sort and the Arrow
+        # transfer into the pack kernel see ~tf-fold fewer rows.
+        # (Aggregating before repartitioning would collapse pre-exchange
+        # but needs a second full-key exchange — 2× collapsed bytes vs
+        # 1× raw bytes, a wash at web-text tf ratios, and it would break
+        # the single-wide-stage shape the scaling profile relies on.)
+        # The null-term doc-marker rows ride along (count 1).
         kernel = _pack_stream_arrow(
             has_tf=True, n_shards=n_shards,
             max_row_postings=max_row_postings, emit_docs=True,
@@ -534,7 +550,7 @@ def write_terms_table(
     spark: SparkSession,
     seg_dir: str,
     postings: DataFrame | None = None,
-    io: SegmentIO = DEFAULT_IO,
+    io: SegmentIO | None = None,
 ) -> None:
     """Write the segment-global term dictionary (term, df) — the analogue
     of the reference's sorted `terms` file (index_writer.rs:31-36). One
@@ -544,6 +560,7 @@ def write_terms_table(
     ``postings`` short-circuits the read-back when the caller still holds
     the (persisted) packed frame — single-batch builds save a scan job.
     """
+    io = io or current_io()
     if postings is None:
         postings = io.read_postings(spark, seg_dir)
     terms = postings.groupBy("term").agg(F.sum("n").alias("df"))
@@ -551,8 +568,9 @@ def write_terms_table(
 
 
 def completed_shards(
-    spark: SparkSession, seg_dir: str, io: SegmentIO = DEFAULT_IO
+    spark: SparkSession, seg_dir: str, io: SegmentIO | None = None
 ) -> set[int]:
+    io = io or current_io()
     try:
         rows = io.read_lineage(spark, seg_dir).select("shard").distinct().collect()
     except Exception:
@@ -568,7 +586,7 @@ def build_segment(
     resume: bool = True,
     dedupe: bool = True,
     n_tbuckets: int = 64,
-    io: SegmentIO = DEFAULT_IO,
+    io: SegmentIO | None = None,
     max_row_postings: int | None = None,
 ) -> Segment:
     """Build (or resume building) a packed segment from a pages frame.
@@ -579,6 +597,7 @@ def build_segment(
     shard partitions, then append lineage. Interrupt anywhere: re-running
     skips completed shards.
     """
+    io = io or current_io()
     spark = pages.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -608,9 +627,9 @@ def build_segment(
         # token instances with each doc's first row marked (negative
         # doc_len), so the pack shuffle feeds postings AND the docs
         # table — no second tokenize pass, no Python workers before the
-        # pack kernel, no pre-count groupBy (tf is counted inside the
-        # pack kernel after the one shuffle). Doc identity (url, warc_ts)
-        # is re-attached from a column-pruned pages projection.
+        # pack kernel; tf is collapsed by a post-shuffle hash agg that
+        # reuses the one exchange (pack_and_write). Doc identity
+        # (url, warc_ts) rides the marker rows.
         flat = token_rows_with_doc(bpages).withColumn(
             "shard", shard_of_doc_id(n_shards)
         )
@@ -631,8 +650,9 @@ def build_segment(
 
 
 def read_segment(
-    spark: SparkSession, seg_dir: str, io: SegmentIO = DEFAULT_IO
+    spark: SparkSession, seg_dir: str, io: SegmentIO | None = None
 ) -> Segment:
+    io = io or current_io()
     postings = io.read_postings(spark, seg_dir)
     docs = io.read_docs(spark, seg_dir)
     lineage = io.read_lineage(spark, seg_dir)
@@ -652,6 +672,9 @@ def read_segment(
         deletes=deletes,
         terms=terms,
         n_shards=int(stats["max_shard"]) + 1,
+        n_deletes_hint=(
+            io.deletes_count(spark, seg_dir) if deletes is not None else 0
+        ),
     )
 
 
@@ -661,7 +684,7 @@ def dump_segment(seg: Segment, n_terms: int = 20) -> str:
     (/root/reference/indexer-qp2/src/dump.rs:6-41). Aggregates run
     distributed; only the tiny report reaches the driver.
     """
-    lineage = DEFAULT_IO.read_lineage(seg.postings.sparkSession, seg.path)
+    lineage = current_io().read_lineage(seg.postings.sparkSession, seg.path)
     lrows = lineage.orderBy("shard").collect()
     stats = seg.postings.agg(
         F.count("*").alias("lists"),
@@ -695,8 +718,9 @@ def dump_segment(seg: Segment, n_terms: int = 20) -> str:
 
 
 def delete_url(
-    spark: SparkSession, seg: Segment, url: str, io: SegmentIO = DEFAULT_IO
+    spark: SparkSession, seg: Segment, url: str, io: SegmentIO | None = None
 ) -> None:
     """Append the url's doc_id to the segment's deletes table (Q17)."""
+    io = io or current_io()
     ids = seg.docs.filter(F.col("url") == url).select("doc_id")
     io.append_deletes(ids, seg.path)

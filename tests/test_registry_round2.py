@@ -142,3 +142,28 @@ def test_collection_doc_status_counts_across_segments(spark, tmp_path):
     assert rows[("http://a1", "MISSING")] == 1
     assert rows[("http://b2", "PRESENT")] == 1
     assert rows[("http://nope", "MISSING")] == 2
+
+
+def test_collection_term_dfs_single_batched_job(spark, tmp_path):
+    """The batched Q1 lookup must return each segment's own df values —
+    identical to per-segment term_dfs — in one tagged-union job."""
+    from search_suite_spark.sources.registry import collection_term_dfs
+
+    col = str(tmp_path / "col4")
+    index_into_collection(spark, pages_from_docs_list(spark, DOCS_A), col,
+                          n_shards=2, compact=False)
+    index_into_collection(spark, pages_from_docs_list(spark, DOCS_B), col,
+                          n_shards=2, compact=False)
+    segs = load_collection(spark, col)
+    seg_list = list(segs.values())
+    terms = ["shared", "foo", "banana", "zzznope"]
+    batched = collection_term_dfs(seg_list, terms)
+    for i, s in enumerate(seg_list):
+        assert batched[i] == s.term_dfs(terms)
+    # and a segment missing the terms table falls back to a postings scan
+    bare = type(seg_list[0])(
+        path=seg_list[0].path, postings=seg_list[0].postings,
+        docs=seg_list[0].docs, num_docs=seg_list[0].num_docs,
+        total_doc_len=seg_list[0].total_doc_len, deletes=None, terms=None,
+    )
+    assert collection_term_dfs([bare], ["shared"])[0] == bare.term_dfs(["shared"])

@@ -74,6 +74,9 @@ def test_segment_stats_match_flat(seg, flat):
 
 
 def test_lineage_complete(spark, seg):
+    from tests.conftest import require_parquet_layout
+
+    require_parquet_layout()
     assert completed_shards(spark, seg.path) == {0, 1, 2, 3}
     lineage = spark.read.parquet(f"{seg.path}/lineage")
     row = lineage.agg(
@@ -85,6 +88,10 @@ def test_lineage_complete(spark, seg):
 
 def test_resume_skips_completed_shards(spark, seg):
     import os
+
+    from tests.conftest import require_parquet_layout
+
+    require_parquet_layout()
 
     # no-op resume: postings files untouched
     before = {
@@ -102,6 +109,9 @@ def test_resume_skips_completed_shards(spark, seg):
 
 
 def test_resume_completes_interrupted_build(spark, seg, flat, tmp_path):
+    from tests.conftest import require_parquet_layout
+
+    require_parquet_layout()
     d = str(tmp_path / "seg_interrupted")
     # simulate a crash after the first batch: copy only shards {0,1}'s
     # lineage and drop shard 2/3 postings+docs
@@ -244,3 +254,56 @@ def test_split_segment_unpack_flat_matches_unsplit(spark, seg, tmp_path):
     a = {tuple(r) for r in unpack_flat(seg).collect()}
     b = {tuple(r) for r in unpack_flat(seg_s).collect()}
     assert a == b
+
+
+def test_newline_url_roundtrips_through_marker(spark, tmp_path):
+    """Doc identity is marker-term-encoded ("\\n"+micros+"\\n"+url); urls
+    with embedded newlines — possible in user-supplied pages frames —
+    must land in the docs table byte-identical (ADVICE r3 medium)."""
+    from search_suite_spark.sources.corpus import pages_from_docs_list
+
+    weird = "http://evil\nexample.com/a"
+    pages = pages_from_docs_list(
+        spark, [(weird, "alpha beta"), ("http://ok", "alpha gamma")]
+    )
+    seg = build_segment(pages, str(tmp_path / "seg_nl"), n_shards=2)
+    rows = {r["url"]: r for r in seg.docs.collect()}
+    assert set(rows) == {weird, "http://ok"}
+    # doc_len counts URL tokens too (mk_doc indexes the url,
+    # doc.rs:74): http/evil/example/com/a = 5 url + 2 body tokens
+    assert rows[weird]["doc_len"] == 7
+    assert rows[weird]["warc_ts"] is not None
+    # and the doc is queryable end-to-end
+    assert {r["url"] for r in wand_scored(seg, "alpha").collect()} == {
+        weird, "http://ok"
+    }
+
+
+def test_cogroup_deletes_rejects_unset_n_shards(spark, seg):
+    """pmod(doc_id, 0) would silently mis-shard deletes; the cogrouped
+    path must refuse a Segment whose n_shards was never derived
+    (ADVICE r3)."""
+    s2 = read_segment(spark, seg.path)
+    if s2.deletes is None:  # earlier delete tests may not have run
+        delete_url(spark, s2, sorted(
+            r["url"] for r in s2.docs.select("url").collect())[0])
+        s2 = read_segment(spark, seg.path)
+    bad = type(s2)(
+        path=s2.path, postings=s2.postings, docs=s2.docs,
+        num_docs=s2.num_docs, total_doc_len=s2.total_doc_len,
+        deletes=s2.deletes, terms=s2.terms, n_shards=0,
+    )
+    with pytest.raises(ValueError, match="n_shards"):
+        wand_scored(bad, "spark", deletes_broadcast_max=0).collect()
+
+
+def test_deletes_hint_routes_without_count_job(spark, seg):
+    """read_segment populates n_deletes_hint from file metadata; the
+    broadcast/cogroup routing must agree with a live count."""
+    s2 = read_segment(spark, seg.path)
+    if s2.deletes is None:
+        delete_url(spark, s2, sorted(
+            r["url"] for r in s2.docs.select("url").collect())[0])
+        s2 = read_segment(spark, seg.path)
+    assert s2.n_deletes_hint is not None
+    assert s2.n_deletes_hint >= s2.deletes.select("doc_id").distinct().count()

@@ -105,3 +105,32 @@ def test_sub_with_missing_term(idx):
     # subtracting a missing term removes nothing
     q = "-- apple\n-- zzznope"
     assert urls(structured_query(idx, q)) == {"u1", "u2", "u3"}
+
+
+def test_and_collapse_empty_normalizing_child_is_empty(idx):
+    # a child whose text normalizes to zero terms ("!!!") is an empty
+    # doc set → the whole AND is empty; the merged-terms collapse must
+    # not silently drop its constraint (ADVICE r3)
+    assert urls(structured_query(idx, "/\\ apple\n/\\ !!!")) == set()
+    # and symmetric: empty child first
+    assert urls(structured_query(idx, "/\\ !!!\n/\\ apple")) == set()
+
+
+def test_multi_regex_tree_batched(idx):
+    # (ba* OR el*) minus du* — three regex leaves share ONE dictionary
+    # scan (plans/structured._batched_regex_terms); results must match
+    # per-leaf semantics exactly
+    q = "-- \\/ ~ ^ba\n   \\/ ~ ^el\n-- ~ ^du"
+    assert urls(structured_query(idx, q)) == {"u1", "u2", "u4"}
+
+
+def test_multi_regex_and_mixed_text(idx):
+    # text + two regex leaves in one AND
+    q = "/\\ apple\n/\\ ~ ^ba\n/\\ ~ ^ch"
+    assert urls(structured_query(idx, q)) == {"u1"}
+
+
+def test_multi_regex_no_match_leaf(idx):
+    # a regex leaf matching no dictionary term is an empty set
+    q = "/\\ ~ ^ap\n/\\ ~ ^zzz"
+    assert urls(structured_query(idx, q)) == set()
