@@ -140,14 +140,75 @@ def main() -> None:
         # step 4): repeated query set, p50/p95 over per-query wall times
         lat_queries = ["merge join", "spark", "window shuffle sort",
                        "the fast", "partition", "executor memory"]
-        lats = []
-        for q in lat_queries * 3:
-            t0 = time.monotonic()
-            wand_scored(seg, q, max_results=10).collect()
-            lats.append(time.monotonic() - t0)
-        lats.sort()
-        extras["query_p50_sec"] = round(lats[len(lats) // 2], 3)
-        extras["query_p95_sec"] = round(lats[int(len(lats) * 0.95)], 3)
+
+        def lat_pass():
+            lats = []
+            for q in lat_queries * 3:
+                t0 = time.monotonic()
+                wand_scored(seg, q, max_results=10).collect()
+                lats.append(time.monotonic() - t0)
+            lats.sort()
+            return (round(lats[len(lats) // 2], 3),
+                    round(lats[int(len(lats) * 0.95)], 3))
+
+        extras["query_p50_sec"], extras["query_p95_sec"] = lat_pass()
+
+        # WARM-path latency: the reference is an always-on API whose
+        # segments stay mmapped (searchapi3/src/Controller.hs:73) — the
+        # honest comparison point caches the segment tables in executor
+        # memory (postings+docs+terms persisted and materialized once,
+        # untimed) and re-runs the same query set; the residual is pure
+        # plan+submit+kernel cost, no storage reads.
+        seg.postings.persist(); seg.docs.persist()
+        if seg.terms is not None:
+            seg.terms.persist()
+        seg.postings.count(); seg.docs.count()
+        if seg.terms is not None:
+            seg.terms.count()
+        extras["warm_query_p50_sec"], extras["warm_query_p95_sec"] = lat_pass()
+        seg.postings.unpersist(); seg.docs.unpersist()
+        if seg.terms is not None:
+            seg.terms.unpersist()
+
+        # transfer-proportionality evidence (north_rule): an adversarial
+        # skew corpus — one term in EVERY doc, per-shard posting lists
+        # above codec.MAX_ROW_POSTINGS so the giant-list split fires at
+        # its natural cap — then a top-k stop-word query with
+        # executor-side accumulators counting tf/dl blocks decoded vs
+        # held. decoded ≪ total = block-max pruning firing end-to-end.
+        # (The replicated sf corpus can't show this: its vocabulary is so
+        # dense that every query term has negative idf AND blocks/shard ≈
+        # the scoring chunk size, so near-all blocks decode regardless.)
+        skew_dir = tempfile.mkdtemp(prefix="bench_skew_")
+        try:
+            def letters(c):
+                return F.translate(
+                    c.cast("string"), "0123456789", "abcdefghij")
+
+            skew = spark.range(280_000).select(
+                F.concat(F.lit("d://"), F.col("id")).alias("url"),
+                F.concat(
+                    F.lit("the w"), letters(F.col("id") % 50_000),
+                    F.lit(" u"), letters(F.col("id")),
+                    F.when(F.col("id") % 2000 == 0, F.lit(" p" * 25))
+                    .otherwise(F.lit("")),
+                ).alias("text"),
+            )
+            sseg = timed("skew_build_280k", lambda: build_segment(
+                skew, skew_dir, n_shards=2, shards_per_batch=2,
+                resume=False, dedupe=False))
+            wstats: dict = {}
+            timed("skew_stopword_topk", lambda: wand_scored(
+                sseg, "the", max_results=10, stats=wstats).collect())
+            extras["skew_blocks_decoded"] = int(wstats["blocks_decoded"].value)
+            extras["skew_blocks_total"] = int(wstats["blocks_total"].value)
+            extras["skew_split_max_rows"] = int(
+                sseg.postings.filter(F.col("term") == "the")
+                .groupBy("shard").count()
+                .agg(F.max("count")).collect()[0][0]
+            )
+        finally:
+            shutil.rmtree(skew_dir, ignore_errors=True)
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),

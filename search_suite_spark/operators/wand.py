@@ -334,6 +334,11 @@ def wand_scored(
     the reference's mmap-granularity reads, index_reader.rs:271-311).
     """
     spark = seg.postings.sparkSession
+    if stats is not None:
+        # created up front so early-abort paths still hand back readable
+        # (zero) accumulators
+        stats["blocks_decoded"] = spark.sparkContext.accumulator(0)
+        stats["blocks_total"] = spark.sparkContext.accumulator(0)
     q_terms = normalise(query)
     empty = spark.createDataFrame([], "url string, score double, term_count int")
     if not q_terms:
@@ -374,10 +379,8 @@ def wand_scored(
 
     kernel = _shard_kernel(terms_meta, seg.num_docs, seg.avgdl, max_results)
     if stats is not None:
-        acc_dec = spark.sparkContext.accumulator(0)
-        acc_tot = spark.sparkContext.accumulator(0)
-        stats["blocks_decoded"] = acc_dec
-        stats["blocks_total"] = acc_tot
+        acc_dec = stats["blocks_decoded"]
+        acc_tot = stats["blocks_total"]
         inner = kernel
 
         def kernel(pdf, deleted_ids, _inner=inner):

@@ -406,18 +406,22 @@ class IcebergSegmentIO(SegmentIO):
 
 DEFAULT_IO: SegmentIO = ParquetSegmentIO()
 
-# the process-wide ACTIVE impl: engine entry points default their ``io``
-# parameter to current_io() (not DEFAULT_IO — a def-time default would
-# freeze the object and make the seam untestable). tests/conftest.py
-# parametrizes the whole storage-touching suite over implementations by
-# swapping this.
-_CURRENT_IO: SegmentIO = DEFAULT_IO
-
 _NAMED = {"parquet": ParquetSegmentIO, "manifest": ManifestSegmentIO}
 
 
 def make_io(name: str) -> SegmentIO:
     return _NAMED[name]()
+
+
+# the process-wide ACTIVE impl: engine entry points default their ``io``
+# parameter to current_io() (not DEFAULT_IO — a def-time default would
+# freeze the object and make the seam untestable). Initialized from
+# $SEARCH_SUITE_SEGMENT_IO so spark-submit jobs and subprocesses select
+# the backend the same way the test suite does; swap at runtime with
+# set_current_io().
+_CURRENT_IO: SegmentIO = make_io(
+    os.environ.get("SEARCH_SUITE_SEGMENT_IO", "parquet")
+)
 
 
 def current_io() -> SegmentIO:

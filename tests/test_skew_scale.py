@@ -78,7 +78,9 @@ def test_shard_exchange_stays_balanced(spark, skew_seg):
     """Doc-hash sharding bounds stop-word skew BY CONSTRUCTION: the
     universal term lands df/n_shards postings per shard, so per-shard
     posting totals stay near-equal even on this adversarial corpus."""
-    lineage = spark.read.parquet(f"{skew_seg.path}/lineage")
+    from search_suite_spark.sources.segment_io import current_io
+
+    lineage = current_io().read_lineage(spark, skew_seg.path)
     counts = [r["n_postings"] for r in lineage.collect()]
     assert len(counts) == N_SHARDS
     assert min(counts) > 0
