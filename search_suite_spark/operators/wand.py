@@ -180,7 +180,12 @@ class _BlockCache:
 def _shard_kernel(terms_meta, n_docs, avgdl, k):
     """Build the per-shard conjunctive block-max scorer.
 
-    terms_meta: {term: (global_df, multiplicity)}. The returned kernel
+    terms_meta: {term: (global_df, multiplicity)}. global_df may be None
+    for EVERY term, meaning the caller joined the dictionary's df onto
+    the posting rows JVM-side (wand_scored's single-job path) — the
+    kernel then reads each term's global df from the pdf's ``df`` column
+    and derives idf locally, so no dictionary values ever round-trip
+    through the driver. The returned kernel
     takes (pdf, deleted_ids) — deleted_ids a sorted uint64 numpy array of
     this shard's deleted doc ids; the caller either closes over one small
     driver-collected array (low delete volume) or cogroups the deletes
@@ -188,20 +193,32 @@ def _shard_kernel(terms_meta, n_docs, avgdl, k):
     (high volume — nothing ever materializes on the driver).
     """
     n_instances = sum(m for _, m in terms_meta.values())
-    idfs = {t: _idf(n_docs, df) for t, (df, _) in terms_meta.items()}
+    df_in_rows = any(df is None for df, _ in terms_meta.values())
+    idfs = (
+        {}
+        if df_in_rows
+        else {t: _idf(n_docs, df) for t, (df, _) in terms_meta.items()}
+    )
 
     def kernel(pdf: pd.DataFrame, deleted_ids: np.ndarray) -> pd.DataFrame:
         present = set(pdf["term"])
         if present != set(terms_meta):
             # some query term has no postings in this shard → empty AND
+            # (covers the global missing-term fast abort too on the
+            # single-job path: a term absent from the dictionary joins
+            # away everywhere)
             return _empty_result()
         # vectorized row grouping: to_dict('records') hands each row to
         # _TermList as a plain dict (iterrows built a pandas Series per
         # row — measurably slower once split rows multiply the row count)
-        lists = {
-            t: _TermList(g.to_dict("records"))
-            for t, g in pdf.groupby("term", sort=False)
-        }
+        lists = {}
+        for t, g in pdf.groupby("term", sort=False):
+            lists[t] = _TermList(g.to_dict("records"))
+            if df_in_rows:
+                # global df rides every posting row (dictionary
+                # broadcast join); constant per term — idempotent to
+                # recompute across shards of the same worker
+                idfs[t] = _idf(n_docs, int(g["df"].iat[0]))
         # rarest-first by shard-local posting count
         order = sorted(lists, key=lambda t: lists[t].n)
         _stats_dict()["blocks_total"] += sum(
@@ -347,16 +364,35 @@ def wand_scored(
     multiplicity = Counter(q_terms)
     rows = seg.postings.filter(F.col("term").isin(list(multiplicity)))
 
-    # global df per term from the dictionary table (Q1 term lookup)
-    dfs = (
-        {t: term_dfs[t] for t in multiplicity if t in term_dfs}
-        if term_dfs is not None
-        else seg.term_dfs(list(multiplicity))
-    )
-    if len(dfs) < len(multiplicity):
-        return empty  # fast abort: a query term is missing (query.rs:34-40)
-
-    terms_meta = {t: (dfs[t], m) for t, m in multiplicity.items()}
+    # global df per term (Q1 term lookup) — three strategies, best first:
+    #   1. caller-provided (a collection batched every segment's lookups
+    #      into one job);
+    #   2. dictionary-join: broadcast the ≤ n query terms' (term, df)
+    #      rows onto the postings JVM-side and let the kernel derive idf
+    #      from the joined column — the WHOLE scored query is then ONE
+    #      Spark action (no driver dictionary round-trip; the reference's
+    #      per-query dictionary seek happens inside its query process
+    #      too, index_reader.rs:200-269);
+    #   3. legacy: collect dfs from a postings scan (no terms table).
+    # The missing-term fast abort (query.rs:34-40) is explicit in 1/3;
+    # in 2 it falls out of the kernel's present-set check — a term
+    # absent from the dictionary joins away in every shard.
+    if term_dfs is not None:
+        dfs = {t: term_dfs[t] for t in multiplicity if t in term_dfs}
+        if len(dfs) < len(multiplicity):
+            return empty
+        terms_meta = {t: (dfs[t], m) for t, m in multiplicity.items()}
+    elif seg.terms is not None:
+        q_dict = seg.terms.filter(
+            F.col("term").isin(list(multiplicity))
+        ).select("term", F.col("df").cast("long").alias("df"))
+        rows = rows.join(F.broadcast(q_dict), "term")
+        terms_meta = {t: (None, m) for t, m in multiplicity.items()}
+    else:
+        dfs = seg.term_dfs(list(multiplicity))
+        if len(dfs) < len(multiplicity):
+            return empty
+        terms_meta = {t: (dfs[t], m) for t, m in multiplicity.items()}
 
     deleted = np.empty(0, dtype=np.uint64)
     deletes_df = None

@@ -272,7 +272,12 @@ def main() -> None:
         summary["hardware_ceiling"] = cal
         for key, ps in pair_stats.items():
             cp = cal["pairs"][key]
-            hw = max(cp["py_busy_eff"], cp["jvm_alu_eff"])
+            # a measured ceiling > 1.0 is physically impossible for a
+            # pure-compute load (it means the LOW-core calibration run
+            # was itself stalled by the host); cap at 1.0 — the largest
+            # possible denominator, i.e. the CONSERVATIVE choice that
+            # can only lower the claimed software efficiency
+            hw = min(1.0, max(cp["py_busy_eff"], cp["jvm_alu_eff"]))
             ps["hardware_ceiling_eff"] = hw
             ps["software_efficiency"] = round(
                 min(ps["scaling_efficiency"] / hw, 1.0), 3)
