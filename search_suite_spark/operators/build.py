@@ -198,8 +198,11 @@ def token_rows_with_doc(pages: DataFrame) -> DataFrame:
     The marker is a DEDICATED row (null term, prepended before the
     explode) rather than a flag on the first token row, so the rows
     survive a (doc_id, doc_len, term) aggregation unchanged — the build
-    counts tf with a map-side partial agg *before* its one exchange, and
-    a flagged token row would split its (doc, term) group in two.
+    counts tf with a hash agg whose distribution the one exchange already
+    satisfies (both partial and final run post-shuffle; the collapse pays
+    off in the in-partition sort and Arrow transfer, not shuffle bytes —
+    see segment write), and a flagged token row would split its
+    (doc, term) group in two.
     Zero-token docs yield just the marker (doc_len = -1), so the docs
     table still records them.
 
