@@ -6,19 +6,35 @@ Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>, ...extras}
 
-Headline set:
-  index_build    packed-segment build (tokenize -> pack -> write),
-                 replication-scaled corpus; also reported as docs/sec
+Two sections in one run:
+  unprefixed keys  the FULL suite at the standard bench size
+                   (replication=10 → 50k docs at sf0.1; identical to
+                   every prior round) — key-for-key comparable round
+                   over round
+  x10_* keys       the heavy paths (build, merge, packed queries,
+                   cold+warm latency) at 10x that (500k docs) — the
+                   scale-evidence section; shows fixed submit/commit
+                   tails amortizing (docs/sec RISES with corpus size)
+                   and exercises scan/kernel costs at sizes the
+                   standard corpus can't reach
+
+Headline set (1x):
+  index_build    packed-segment build (tokenize -> pack -> write)
+  merge_compact  sort-merge of two half-corpus segments
   bm25_*         scored conjunctive queries over the packed segment via
                  the block-max shard kernel (operators/wand.py)
   unscored_*     boolean retrieval + structured set algebra
+  skew_*         adversarial stop-word corpus: build + top-k with
+                 decode-stats (blocks decoded << total = block-max
+                 pruning firing end-to-end)
   dedup_minhash  MinHash/LSH candidate pairs over documents
   ann_cosine     brute-force cosine top-k over embeddings
   text_scan      lang-id + quality scoring full scan
 
 Scaling-efficiency evidence (north_rule: N vs 4N): run
 `python tools/scaling_bench.py` which executes the *same* index_build at
-local[8] and local[32] in separate processes and appends to BASELINE.md.
+local[1]/local[4]/local[16] in separate processes and appends to
+BASELINE.md.
 """
 
 from __future__ import annotations
@@ -53,6 +69,7 @@ def main() -> None:
     from search_suite_spark.operators.wand import wand_scored
     from search_suite_spark.operators.query import bm25_scored, unscored
     from search_suite_spark.operators.build import build_index
+    from search_suite_spark.operators.merge import merge_segments
     from search_suite_spark.plans.structured import structured_query
     from search_suite_spark.operators import dedup as D
     from search_suite_spark.operators import similarity as S
@@ -70,20 +87,10 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
-    pages = pages_from_documents(spark, sf_dir, replication=replication).cache()
-    n_docs = pages.count()  # materialize input outside the timed build
-    extras["n_docs"] = n_docs
-
-    seg_dir = tempfile.mkdtemp(prefix="bench_seg_")
-    try:
-        seg = timed("index_build", lambda: build_segment(
-            pages, seg_dir, n_shards=max(cpus, 16), shards_per_batch=max(cpus, 16),
-            resume=False, dedupe=True))
-        extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
-
-        # settle to steady state before latency measurements: the first job
-        # after a heavy build otherwise absorbs the build's deferred JVM GC
-        # + shuffle-cleanup cost (measured ~30s spikes on local[32])
+    def settle():
+        # steady state before latency measurements: the first job after a
+        # heavy build otherwise absorbs the build's deferred JVM GC +
+        # shuffle-cleanup cost (measured ~30s spikes on local[32])
         import gc as _gc
 
         spark.range(10_000_000).selectExpr("sum(id)").collect()
@@ -91,141 +98,169 @@ def main() -> None:
         spark._jvm.System.gc()
         time.sleep(2)
 
-        # merge/compaction throughput: split the corpus in two halves,
-        # build each, then sort-merge (unpack -> union -> repack). Timed
-        # part = merge_segments only; the two half builds are staging.
-        from search_suite_spark.operators.merge import merge_segments
+    lat_queries = ["merge join", "spark", "window shuffle sort",
+                   "the fast", "partition", "executor memory"]
 
-        d_a = tempfile.mkdtemp(prefix="bench_mrg_a_")
-        d_b = tempfile.mkdtemp(prefix="bench_mrg_b_")
-        d_m = tempfile.mkdtemp(prefix="bench_mrg_m_")
+    def lat_pass(seg):
+        lats = []
+        for q in lat_queries * 3:
+            t0 = time.monotonic()
+            wand_scored(seg, q, max_results=10).collect()
+            lats.append(time.monotonic() - t0)
+        lats.sort()
+        return (round(lats[len(lats) // 2], 3),
+                round(lats[int(len(lats) * 0.95)], 3))
+
+    def build_merge_query(pages, n_docs, prefix=""):
+        """The heavy-path subsuite: build, sort-merge, packed queries,
+        cold+warm latency. Shared by the 1x and the 10x sections; key
+        names get `prefix` so both scales land in one JSON artifact."""
+        seg_dir = tempfile.mkdtemp(prefix=f"bench_seg_{prefix}")
         try:
-            half_a = build_segment(
-                pages.filter(F.xxhash64("url") % 2 == 0), d_a,
-                n_shards=max(cpus, 16), shards_per_batch=max(cpus, 16),
-                resume=False, dedupe=False)
-            half_b = build_segment(
-                pages.filter(F.xxhash64("url") % 2 != 0), d_b,
-                n_shards=max(cpus, 16), shards_per_batch=max(cpus, 16),
-                resume=False, dedupe=False)
-            timed("merge_compact", lambda: merge_segments(
-                spark, half_a, half_b, d_m, n_shards=max(cpus, 16)))
-            extras["merge_docs_per_sec"] = round(
-                n_docs / timings["merge_compact"], 1)
+            seg = timed(f"{prefix}index_build", lambda: build_segment(
+                pages, seg_dir, n_shards=max(cpus, 16),
+                shards_per_batch=max(cpus, 16), resume=False, dedupe=True))
+            extras[f"{prefix}index_docs_per_sec"] = round(
+                n_docs / timings[f"{prefix}index_build"], 1)
+            settle()
+
+            # merge/compaction throughput: split the corpus in two halves,
+            # build each, then sort-merge (unpack -> union -> repack).
+            # Timed part = merge_segments only; the half builds are staging.
+            d_a = tempfile.mkdtemp(prefix="bench_mrg_a_")
+            d_b = tempfile.mkdtemp(prefix="bench_mrg_b_")
+            d_m = tempfile.mkdtemp(prefix="bench_mrg_m_")
+            try:
+                half_a = build_segment(
+                    pages.filter(F.xxhash64("url") % 2 == 0), d_a,
+                    n_shards=max(cpus, 16), shards_per_batch=max(cpus, 16),
+                    resume=False, dedupe=False)
+                half_b = build_segment(
+                    pages.filter(F.xxhash64("url") % 2 != 0), d_b,
+                    n_shards=max(cpus, 16), shards_per_batch=max(cpus, 16),
+                    resume=False, dedupe=False)
+                timed(f"{prefix}merge_compact", lambda: merge_segments(
+                    spark, half_a, half_b, d_m, n_shards=max(cpus, 16)))
+                extras[f"{prefix}merge_docs_per_sec"] = round(
+                    n_docs / timings[f"{prefix}merge_compact"], 1)
+            finally:
+                shutil.rmtree(d_a, ignore_errors=True)
+                shutil.rmtree(d_b, ignore_errors=True)
+                shutil.rmtree(d_m, ignore_errors=True)
+
+            timed(f"{prefix}bm25_topk_packed", lambda: wand_scored(
+                seg, "merge join", max_results=10).collect())
+            timed(f"{prefix}bm25_single_packed", lambda: wand_scored(
+                seg, "spark", max_results=10).collect())
+            timed(f"{prefix}bm25_rare_and_packed", lambda: wand_scored(
+                seg, "window shuffle sort", max_results=10).collect())
+
+            # packed-path query latency distribution (BASELINE.md protocol
+            # step 4): repeated query set, p50/p95 over per-query walls
+            (extras[f"{prefix}query_p50_sec"],
+             extras[f"{prefix}query_p95_sec"]) = lat_pass(seg)
+
+            # WARM path: the reference is an always-on API whose segments
+            # stay mmapped (searchapi3/src/Controller.hs:73) — the honest
+            # comparison point caches the segment tables in executor
+            # memory (materialized once, untimed) and re-runs the same
+            # query set; the residual is pure plan+submit+kernel cost.
+            cached = [seg.postings, seg.docs] + (
+                [seg.terms] if seg.terms is not None else [])
+            for df in cached:
+                df.persist()
+                df.count()
+            (extras[f"{prefix}warm_query_p50_sec"],
+             extras[f"{prefix}warm_query_p95_sec"]) = lat_pass(seg)
+            for df in cached:
+                df.unpersist()
         finally:
-            shutil.rmtree(d_a, ignore_errors=True)
-            shutil.rmtree(d_b, ignore_errors=True)
-            shutil.rmtree(d_m, ignore_errors=True)
+            shutil.rmtree(seg_dir, ignore_errors=True)
 
-        timed("bm25_topk_packed", lambda: wand_scored(
-            seg, "merge join", max_results=10).collect())
-        timed("bm25_single_packed", lambda: wand_scored(
-            seg, "spark", max_results=10).collect())
-        timed("bm25_rare_and_packed", lambda: wand_scored(
-            seg, "window shuffle sort", max_results=10).collect())
+    # ---- 1x section: full suite at the standard bench size ----
+    pages = pages_from_documents(spark, sf_dir, replication=replication).cache()
+    n_docs = pages.count()  # materialize input outside the timed build
+    extras["n_docs"] = n_docs
 
-        # flat (relational) path on the same corpus, for comparison.
-        # build_flat times the cache materialization (tokenize + postings
-        # agg) separately so the flat query timings measure the QUERY, not
-        # the lazy first-touch build.
-        idx = build_index(pages, dedupe=True)
-        timed("build_flat", lambda: (idx.postings.count(), idx.terms.count()))
-        timed("bm25_topk_flat", lambda: bm25_scored(
-            idx, "merge join", max_results=10).collect())
-        timed("unscored_and", lambda: unscored(idx, "merge join sort").count())
-        timed("structured_and_or", lambda: structured_query(
-            idx, "/\\ spark\n/\\ \\/ merge\n   \\/ join").count())
+    build_merge_query(pages, n_docs)
 
-        # packed-path query latency distribution (BASELINE.md protocol
-        # step 4): repeated query set, p50/p95 over per-query wall times
-        lat_queries = ["merge join", "spark", "window shuffle sort",
-                       "the fast", "partition", "executor memory"]
+    # flat (relational) path on the same corpus, for comparison.
+    # build_flat times the cache materialization (tokenize + postings
+    # agg) separately so the flat query timings measure the QUERY, not
+    # the lazy first-touch build.
+    idx = build_index(pages, dedupe=True)
+    timed("build_flat", lambda: (idx.postings.count(), idx.terms.count()))
+    timed("bm25_topk_flat", lambda: bm25_scored(
+        idx, "merge join", max_results=10).collect())
+    timed("unscored_and", lambda: unscored(idx, "merge join sort").count())
+    timed("structured_and_or", lambda: structured_query(
+        idx, "/\\ spark\n/\\ \\/ merge\n   \\/ join").count())
 
-        def lat_pass():
-            lats = []
-            for q in lat_queries * 3:
-                t0 = time.monotonic()
-                wand_scored(seg, q, max_results=10).collect()
-                lats.append(time.monotonic() - t0)
-            lats.sort()
-            return (round(lats[len(lats) // 2], 3),
-                    round(lats[int(len(lats) * 0.95)], 3))
+    # transfer-proportionality evidence (north_rule): an adversarial
+    # skew corpus — one term in EVERY doc, per-shard posting lists
+    # above codec.MAX_ROW_POSTINGS so the giant-list split fires at
+    # its natural cap — then a top-k stop-word query with
+    # executor-side accumulators counting tf/dl blocks decoded vs
+    # held. decoded << total = block-max pruning firing end-to-end.
+    # (The replicated sf corpus can't show this: its vocabulary is so
+    # dense that every query term has negative idf AND blocks/shard ≈
+    # the scoring chunk size, so near-all blocks decode regardless.)
+    skew_dir = tempfile.mkdtemp(prefix="bench_skew_")
+    try:
+        def letters(c):
+            return F.translate(
+                c.cast("string"), "0123456789", "abcdefghij")
 
-        extras["query_p50_sec"], extras["query_p95_sec"] = lat_pass()
-
-        # WARM-path latency: the reference is an always-on API whose
-        # segments stay mmapped (searchapi3/src/Controller.hs:73) — the
-        # honest comparison point caches the segment tables in executor
-        # memory (postings+docs+terms persisted and materialized once,
-        # untimed) and re-runs the same query set; the residual is pure
-        # plan+submit+kernel cost, no storage reads.
-        seg.postings.persist(); seg.docs.persist()
-        if seg.terms is not None:
-            seg.terms.persist()
-        seg.postings.count(); seg.docs.count()
-        if seg.terms is not None:
-            seg.terms.count()
-        extras["warm_query_p50_sec"], extras["warm_query_p95_sec"] = lat_pass()
-        seg.postings.unpersist(); seg.docs.unpersist()
-        if seg.terms is not None:
-            seg.terms.unpersist()
-
-        # transfer-proportionality evidence (north_rule): an adversarial
-        # skew corpus — one term in EVERY doc, per-shard posting lists
-        # above codec.MAX_ROW_POSTINGS so the giant-list split fires at
-        # its natural cap — then a top-k stop-word query with
-        # executor-side accumulators counting tf/dl blocks decoded vs
-        # held. decoded ≪ total = block-max pruning firing end-to-end.
-        # (The replicated sf corpus can't show this: its vocabulary is so
-        # dense that every query term has negative idf AND blocks/shard ≈
-        # the scoring chunk size, so near-all blocks decode regardless.)
-        skew_dir = tempfile.mkdtemp(prefix="bench_skew_")
-        try:
-            def letters(c):
-                return F.translate(
-                    c.cast("string"), "0123456789", "abcdefghij")
-
-            skew = spark.range(280_000).select(
-                F.concat(F.lit("d://"), F.col("id")).alias("url"),
-                F.concat(
-                    F.lit("the w"), letters(F.col("id") % 50_000),
-                    F.lit(" u"), letters(F.col("id")),
-                    F.when(F.col("id") % 2000 == 0, F.lit(" p" * 25))
-                    .otherwise(F.lit("")),
-                ).alias("text"),
-            )
-            sseg = timed("skew_build_280k", lambda: build_segment(
-                skew, skew_dir, n_shards=2, shards_per_batch=2,
-                resume=False, dedupe=False))
-            wstats: dict = {}
-            timed("skew_stopword_topk", lambda: wand_scored(
-                sseg, "the", max_results=10, stats=wstats).collect())
-            extras["skew_blocks_decoded"] = int(wstats["blocks_decoded"].value)
-            extras["skew_blocks_total"] = int(wstats["blocks_total"].value)
-            extras["skew_split_max_rows"] = int(
-                sseg.postings.filter(F.col("term") == "the")
-                .groupBy("shard").count()
-                .agg(F.max("count")).collect()[0][0]
-            )
-        finally:
-            shutil.rmtree(skew_dir, ignore_errors=True)
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-            "text",
+        skew = spark.range(280_000).select(
+            F.concat(F.lit("d://"), F.col("id")).alias("url"),
+            F.concat(
+                F.lit("the w"), letters(F.col("id") % 50_000),
+                F.lit(" u"), letters(F.col("id")),
+                F.when(F.col("id") % 2000 == 0, F.lit(" p" * 25))
+                .otherwise(F.lit("")),
+            ).alias("text"),
         )
-        timed("dedup_minhash", lambda: D.minhash_candidates(
-            docs, n=3, bands=8, max_bucket=200).count())
-
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
-              .select("embedding").collect()[0]["embedding"]]
-        timed("ann_cosine", lambda: S.cosine_topk(emb, qv, k=10).collect())
-
-        timed("text_scan", lambda: TA.quality_score(
-            docs).join(TA.lang_id(docs), "url").count())
+        sseg = timed("skew_build_280k", lambda: build_segment(
+            skew, skew_dir, n_shards=2, shards_per_batch=2,
+            resume=False, dedupe=False))
+        wstats: dict = {}
+        timed("skew_stopword_topk", lambda: wand_scored(
+            sseg, "the", max_results=10, stats=wstats).collect())
+        extras["skew_blocks_decoded"] = int(wstats["blocks_decoded"].value)
+        extras["skew_blocks_total"] = int(wstats["blocks_total"].value)
+        extras["skew_split_max_rows"] = int(
+            sseg.postings.filter(F.col("term") == "the")
+            .groupBy("shard").count()
+            .agg(F.max("count")).collect()[0][0]
+        )
     finally:
-        shutil.rmtree(seg_dir, ignore_errors=True)
+        shutil.rmtree(skew_dir, ignore_errors=True)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    timed("dedup_minhash", lambda: D.minhash_candidates(
+        docs, n=3, bands=8, max_bucket=200).count())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0]["embedding"]]
+    timed("ann_cosine", lambda: S.cosine_topk(emb, qv, k=10).collect())
+
+    timed("text_scan", lambda: TA.quality_score(
+        docs).join(TA.lang_id(docs), "url").count())
+
+    # ---- 10x scale section: heavy paths at 10x the standard corpus ----
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALE") != "1":
+        pages.unpersist()
+        pages_big = pages_from_documents(
+            spark, sf_dir, replication=replication * 10).cache()
+        n_big = pages_big.count()
+        extras["x10_n_docs"] = n_big
+        settle()
+        build_merge_query(pages_big, n_big, prefix="x10_")
+        pages_big.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -332,6 +332,7 @@ def wand_scored(
     deletes_broadcast_max: int = DELETES_BROADCAST_MAX,
     term_dfs: dict[str, int] | None = None,
     stats: dict | None = None,
+    dict_strategy: str = "collect",
 ) -> DataFrame:
     """Scored conjunctive query over a packed segment → (url, score,
     term_count), rank-identical to the flat path (tests enforce it).
@@ -364,25 +365,30 @@ def wand_scored(
     multiplicity = Counter(q_terms)
     rows = seg.postings.filter(F.col("term").isin(list(multiplicity)))
 
-    # global df per term (Q1 term lookup) — three strategies, best first:
-    #   1. caller-provided (a collection batched every segment's lookups
-    #      into one job);
-    #   2. dictionary-join: broadcast the ≤ n query terms' (term, df)
-    #      rows onto the postings JVM-side and let the kernel derive idf
-    #      from the joined column — the WHOLE scored query is then ONE
-    #      Spark action (no driver dictionary round-trip; the reference's
-    #      per-query dictionary seek happens inside its query process
-    #      too, index_reader.rs:200-269);
-    #   3. legacy: collect dfs from a postings scan (no terms table).
-    # The missing-term fast abort (query.rs:34-40) is explicit in 1/3;
-    # in 2 it falls out of the kernel's present-set check — a term
+    # global df per term (Q1 term lookup) — three strategies:
+    #   1. caller-provided (a collection batches every segment's lookups
+    #      into one tagged-union job, registry.collection_term_dfs);
+    #   2. dict_strategy="collect" (default): one tiny isin-pruned
+    #      dictionary collect (terms table if present, else a (term, n)
+    #      postings scan) before the main action — measured FASTER p50
+    #      and p95 than the join strategy on local[32] (the dictionary
+    #      job is ~ms; a broadcast exchange costs more than it saves);
+    #   3. dict_strategy="join": broadcast the ≤ n query terms'
+    #      (term, df) rows onto the postings JVM-side and let the kernel
+    #      derive idf from the joined column — the WHOLE scored query is
+    #      then ONE Spark action with zero driver round-trips (the
+    #      reference's per-query dictionary seek happens inside its
+    #      query process too, index_reader.rs:200-269). The right shape
+    #      when driver→cluster latency dominates a small job's cost.
+    # The missing-term fast abort (query.rs:34-40) is explicit in 1/2;
+    # in 3 it falls out of the kernel's present-set check — a term
     # absent from the dictionary joins away in every shard.
     if term_dfs is not None:
         dfs = {t: term_dfs[t] for t in multiplicity if t in term_dfs}
         if len(dfs) < len(multiplicity):
             return empty
         terms_meta = {t: (dfs[t], m) for t, m in multiplicity.items()}
-    elif seg.terms is not None:
+    elif dict_strategy == "join" and seg.terms is not None:
         q_dict = seg.terms.filter(
             F.col("term").isin(list(multiplicity))
         ).select("term", F.col("df").cast("long").alias("df"))

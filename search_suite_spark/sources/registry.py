@@ -281,27 +281,21 @@ def query_collection(
     per-segment top-k with segment-local stats, then a global merge that
     dedupes urls keeping the max score and re-sorts by exact score.
 
-    Driver round-trips: ZERO dictionary jobs — each segment's wand_scored
-    broadcast-joins its own (term, df) dictionary rows onto the postings
-    inside the one union action (the deletes-volume routing likewise
-    reads segment metadata hints), so an N-segment collection pays one
-    result job per query, not N+1 sequential submits. Segments lacking a
-    terms table fall back through collection_term_dfs (one batched job)."""
+    Driver round-trips are batched: all segments' dictionary lookups run
+    as ONE tagged-union job (collection_term_dfs — measured faster than
+    per-segment broadcast dictionary joins, see wand_scored's
+    dict_strategy note), and the deletes-volume routing reads each
+    segment's metadata hint — an N-segment collection pays one
+    dictionary job + one result job per query, not N+1 sequential
+    submits."""
     from search_suite_spark.functions.normalise import normalise
     from search_suite_spark.operators.wand import wand_scored
 
     seg_list = list(segs.values()) if isinstance(segs, dict) else list(segs)
     if not seg_list:
         raise ValueError("empty collection")
-    bare = [i for i, s in enumerate(seg_list) if s.terms is None]
-    dfs_list: list[dict[str, int] | None] = [None] * len(seg_list)
-    if bare:
-        q_terms = sorted(set(normalise(query)))
-        batched = collection_term_dfs(
-            [seg_list[i] for i in bare], q_terms
-        )
-        for i, d in zip(bare, batched):
-            dfs_list[i] = d
+    q_terms = sorted(set(normalise(query)))
+    dfs_list = collection_term_dfs(seg_list, q_terms)
     parts = [
         wand_scored(s, query, max_results=max_results, term_dfs=dfs_list[i])
         for i, s in enumerate(seg_list)

@@ -307,3 +307,30 @@ def test_deletes_hint_routes_without_count_job(spark, seg):
         s2 = read_segment(spark, seg.path)
     assert s2.n_deletes_hint is not None
     assert s2.n_deletes_hint >= s2.deletes.select("doc_id").distinct().count()
+
+
+def test_df_strategy_paths_agree(spark, seg):
+    """wand_scored's df-lookup strategies — caller-provided term_dfs,
+    the broadcast dictionary join (dict_strategy="join"), the default
+    terms-table collect, and the postings-scan collect (terms table
+    absent) — must return identical (url, score, term_count) rows,
+    including the duplicate-term multiplicity and the missing-term AND
+    abort (query.rs:34-40)."""
+    no_terms = type(seg)(
+        path=seg.path, postings=seg.postings, docs=seg.docs,
+        num_docs=seg.num_docs, total_doc_len=seg.total_doc_len,
+        deletes=seg.deletes, terms=None, n_shards=seg.n_shards,
+    )
+    for q in ["spark", "merge join", "spark spark merge", "spark zzznope"]:
+        dfs = seg.term_dfs(
+            sorted({t for t in q.split()})
+        )
+        via_join = wand_scored(seg, q, dict_strategy="join").collect()
+        via_default = wand_scored(seg, q).collect()
+        via_caller = wand_scored(seg, q, term_dfs=dfs).collect()
+        via_scan = wand_scored(no_terms, q).collect()
+        key = lambda rows: sorted(
+            (r["url"], round(r["score"], 9), r["term_count"]) for r in rows
+        )
+        assert key(via_join) == key(via_default) == key(via_caller) == key(via_scan), q
+    assert wand_scored(seg, "zzznope").count() == 0
