@@ -133,6 +133,22 @@ class _TermList:
         ]
         return np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
 
+    def decode_blocks_full(
+        self, global_blocks: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(ids, tfs, dls) of the given global blocks, concatenated in
+        ascending block order."""
+        ids, tfs, dls = [], [], []
+        for ri, local in self._by_row(global_blocks):
+            i, t, d, _ = unpack_blocks(self.rows[ri], local)
+            ids.append(i)
+            tfs.append(t)
+            dls.append(d)
+        if not ids:
+            z = np.empty(0, dtype=np.uint64)
+            return z, z.copy(), z.copy()
+        return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
+
 
 class _BlockCache:
     """Lazily-decoded (ids, tfs, dls) per GLOBAL block of a _TermList."""
@@ -175,6 +191,84 @@ class _BlockCache:
             tf[sel] = btf[p]
             dl[sel] = bdl[p]
         return tf, dl
+
+
+def _single_term_topk(
+    tl: "_TermList",
+    idf: float,
+    mult: int,
+    n_instances: int,
+    avgdl: int,
+    k: int,
+    deleted_ids: np.ndarray,
+) -> pd.DataFrame:
+    """Single-term top-k WITHOUT the full id decode: blocks are visited
+    in upper-bound order and decoding stops once the k-th best exact
+    score (θ) provably beats every remaining block's bound.
+
+    The generic kernel decodes the ENTIRE rarest list's ids for
+    candidate generation — correct for conjunctive multi-term queries
+    (the rarest list is small by definition) but pathological for a
+    single stop-word term, where "rarest" IS the giant list. Here the
+    candidate set never materializes: each chunk of high-bound blocks
+    decodes ids+tf+dl together, scores exactly, and raises θ. Pruning is
+    lossless (ub ≥ exact, ties with θ kept) so results stay
+    rank-identical with the flat oracle; the decode stats then show
+    transfer ∝ blocks that could matter, matching the reference's
+    skip-reads (index_reader.rs:271-311) for the single-term case too.
+    """
+    if idf >= 0:
+        ub = mult * idf * impact_bound(
+            tl.meta("block_max_tf"), tl.meta("block_min_dl"), avgdl
+        )
+    else:
+        ub = mult * idf * impact_bound(
+            tl.meta("block_min_tf"), tl.meta("block_max_dl"), avgdl
+        )
+    by_ub = np.argsort(-ub, kind="stable")
+    # ≥ 4k postings per decode call, and ≥ 8 blocks to amortize call
+    # overhead — same chunking intent as the generic phase-3 loop
+    chunk = max(8, -(-4 * k // BLOCK))
+    kept_ids: list[np.ndarray] = []
+    kept_scores: list[np.ndarray] = []
+    theta = -np.inf
+    n_kept = 0
+    for s in range(0, by_ub.size, chunk):
+        sel = by_ub[s : s + chunk]
+        if n_kept >= k and ub[sel[0]] < theta:
+            break  # blocks are ub-descending: nothing left can enter
+        _stats_dict()["blocks_decoded"] += int(sel.size)
+        ids, tfs, dls = tl.decode_blocks_full(sel)
+        if deleted_ids.size and ids.size:
+            dead = np.searchsorted(deleted_ids, ids)
+            dead_ok = dead < deleted_ids.size
+            is_dead = np.zeros(ids.size, dtype=bool)
+            is_dead[dead_ok] = deleted_ids[dead[dead_ok]] == ids[dead_ok]
+            ids, tfs, dls = ids[~is_dead], tfs[~is_dead], dls[~is_dead]
+        if ids.size == 0:
+            continue
+        kept_ids.append(ids)
+        kept_scores.append(mult * idf * impact(tfs, dls, avgdl))
+        n_kept += ids.size
+        if n_kept >= k:
+            all_scores = np.concatenate(kept_scores)
+            theta = np.partition(all_scores, all_scores.size - k)[
+                all_scores.size - k
+            ]
+    if not kept_ids:
+        return _empty_result()
+    out_ids = np.concatenate(kept_ids)
+    out_scores = np.concatenate(kept_scores)
+    if out_ids.size > k:
+        keep = out_scores >= theta
+        out_ids, out_scores = out_ids[keep], out_scores[keep]
+    return pd.DataFrame(
+        {
+            "doc_id": out_ids.view(np.int64),
+            "score": out_scores,
+            "term_count": np.full(out_ids.size, n_instances, dtype=np.int32),
+        }
+    )
 
 
 def _shard_kernel(terms_meta, n_docs, avgdl, k):
@@ -224,6 +318,13 @@ def _shard_kernel(terms_meta, n_docs, avgdl, k):
         _stats_dict()["blocks_total"] += sum(
             lists[t].block_last.size for t in order
         )
+
+        if len(order) == 1 and k is not None:
+            t = order[0]
+            return _single_term_topk(
+                lists[t], idfs[t], terms_meta[t][1],
+                n_instances, avgdl, k, deleted_ids,
+            )
 
         # ---- phase 1+2: ids-only intersection ------------------------
         cand_ids = lists[order[0]].decode_all_ids()

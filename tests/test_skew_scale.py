@@ -122,3 +122,34 @@ def test_topk_decodes_fraction_of_blocks(skew_seg):
     assert 0 < decoded < 0.5 * total, (
         f"block-max failed to prune: decoded {decoded}/{total}"
     )
+
+
+def test_single_term_fastpath_matches_generic_kernel(skew_seg):
+    """The single-term top-k fast path (blocks visited in upper-bound
+    order, no full id decode — wand._single_term_topk) must agree with
+    the generic score-everything kernel on the k best scores, and must
+    actually skip id decodes (< 20% of blocks touched on the universal
+    stop-word list)."""
+    import numpy as np
+    from search_suite_spark.operators import wand as W
+
+    rows = skew_seg.postings.filter(F.col("term") == "the").toPandas()
+    one = rows[rows["shard"] == rows["shard"].iloc[0]]
+    df = skew_seg.term_dfs(["the"])["the"]
+    meta = {"the": (df, 1)}
+    deleted = np.empty(0, dtype=np.uint64)
+
+    sd = W._stats_dict()
+    d0 = sd["blocks_decoded"]
+    fast = W._shard_kernel(meta, skew_seg.num_docs, skew_seg.avgdl, 10)(
+        one, deleted
+    )
+    fast_decoded = sd["blocks_decoded"] - d0
+    full = W._shard_kernel(meta, skew_seg.num_docs, skew_seg.avgdl, None)(
+        one, deleted
+    )
+    top_fast = sorted(fast["score"], reverse=True)[:10]
+    top_full = sorted(full["score"], reverse=True)[:10]
+    assert np.allclose(top_fast, top_full, rtol=1e-12)
+    n_blocks = int(sum(len(r["block_last"]) for _, r in one.iterrows()))
+    assert 0 < fast_decoded < 0.2 * n_blocks
