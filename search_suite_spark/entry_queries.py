@@ -356,6 +356,21 @@ def q_bm25_packed_topk(spark, sf_dir):
     )
 
 
+def q_bm25_packed_single(spark, sf_dir):
+    """Single-term packed top-k — exercises the upper-bound-ordered
+    block fast path (wand._single_term_topk): no full id decode of the
+    term's posting list, lossless θ pruning, rank-identical to the SQL
+    oracle's full scoring."""
+    from search_suite_spark.operators.wand import wand_scored
+
+    out = wand_scored(_segment(spark, sf_dir), "the", max_results=10)
+    return out.select(
+        "url",
+        F.round("score", 6).alias("score"),
+        F.col("term_count").cast("long").alias("term_count"),
+    )
+
+
 def q_spelling_levenshtein(spark, sf_dir):
     from search_suite_spark.operators.spelling import spelling_suggestions
 
@@ -617,6 +632,7 @@ SPARK_QUERIES = {
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "bm25_packed_topk": q_bm25_packed_topk,
+    "bm25_packed_single": q_bm25_packed_single,
     "spelling_levenshtein": q_spelling_levenshtein,
     "html_metadata": q_html_metadata,
     "media_meta": q_media_meta,
@@ -917,6 +933,7 @@ SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(url) AS
 FROM pages GROUP BY md5(text)
 """.strip(),
     "bm25_packed_topk": bm25_sql(["the", "fast"], limit=10),
+    "bm25_packed_single": bm25_sql(["the"], limit=10),
     "spelling_levenshtein": f"""
 WITH {DOC_CTE},
 words(word) AS (VALUES ('spark'), ('merg'))
