@@ -174,6 +174,23 @@ def main() -> None:
              extras[f"{prefix}warm_query_p95_sec"]) = lat_pass(seg)
             for df in cached:
                 df.unpersist()
+
+            # BATCHED scoring: the whole latency query set in ONE Spark
+            # action (wand.bm25_batch — one scan, one shuffle, shared
+            # block decodes). The amortized per-query cost is the
+            # engine's real serving shape: per-query submit overhead
+            # divides away with batch size.
+            from search_suite_spark.operators.wand import bm25_batch
+
+            t0 = time.monotonic()
+            bm25_batch(
+                seg, {f"q{i}": q for i, q in enumerate(lat_queries)},
+                max_results=10,
+            ).collect()
+            bsec = time.monotonic() - t0
+            extras[f"{prefix}batch{len(lat_queries)}_sec"] = round(bsec, 3)
+            extras[f"{prefix}batch_per_query_sec"] = round(
+                bsec / len(lat_queries), 3)
         finally:
             shutil.rmtree(seg_dir, ignore_errors=True)
 

@@ -356,6 +356,54 @@ def q_bm25_packed_topk(spark, sf_dir):
     )
 
 
+BATCH_QUERIES = {"qa": ["the", "fast"], "qb": ["doc"], "qc": ["merge", "join"]}
+
+
+def bm25_batch_sql(queries: dict[str, list[str]], limit: int = 10) -> str:
+    """Batched scored queries: one shared corpus CTE, one ranked CTE per
+    qid (same scorer/tie-break as bm25_sql), UNION ALL."""
+    parts = []
+    for qid, terms in queries.items():
+        tl = ", ".join(f"'{t}'" for t in terms)
+        n = len(terms)
+        parts.append(f"""
+r_{qid} AS (
+  SELECT '{qid}' AS qid, url, round(exact_score, 6) AS score, term_count
+  FROM (
+    SELECT t.url,
+           sum( ln((stats.num_docs - dict.df + 0.5) / (dict.df + 0.5))
+                * (t.tf * 2.2)
+                / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.doc_len::DOUBLE / stats.avgdl::DOUBLE)))
+              ) AS exact_score,
+           CAST(count(*) AS BIGINT) AS term_count
+    FROM tf t JOIN dict USING (term) JOIN dl USING (url) CROSS JOIN stats
+    WHERE t.term IN ({tl})
+    GROUP BY t.url HAVING count(*) = {n}
+  ) ORDER BY score DESC, url LIMIT {limit}
+)""".strip())
+    sel = " UNION ALL ".join(f"SELECT * FROM r_{q}" for q in queries)
+    return f"WITH {DOC_CTE},\n" + ",\n".join(parts) + f"\n{sel}"
+
+
+def q_bm25_batch(spark, sf_dir):
+    """N scored queries in ONE Spark action (wand.bm25_batch): one scan
+    pruned to the union of all queries' terms, one shard shuffle, one
+    kernel pass with block decodes shared across queries."""
+    from search_suite_spark.operators.wand import bm25_batch
+
+    out = bm25_batch(
+        _segment(spark, sf_dir),
+        {qid: " ".join(ts) for qid, ts in BATCH_QUERIES.items()},
+        max_results=10,
+    )
+    return out.select(
+        "qid",
+        "url",
+        F.round("score", 6).alias("score"),
+        F.col("term_count").cast("long").alias("term_count"),
+    )
+
+
 def q_bm25_packed_single(spark, sf_dir):
     """Single-term packed top-k — exercises the upper-bound-ordered
     block fast path (wand._single_term_topk): no full id decode of the
@@ -633,6 +681,7 @@ SPARK_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "bm25_packed_topk": q_bm25_packed_topk,
     "bm25_packed_single": q_bm25_packed_single,
+    "bm25_batch": q_bm25_batch,
     "spelling_levenshtein": q_spelling_levenshtein,
     "html_metadata": q_html_metadata,
     "media_meta": q_media_meta,
@@ -934,6 +983,7 @@ FROM pages GROUP BY md5(text)
 """.strip(),
     "bm25_packed_topk": bm25_sql(["the", "fast"], limit=10),
     "bm25_packed_single": bm25_sql(["the"], limit=10),
+    "bm25_batch": bm25_batch_sql(BATCH_QUERIES, limit=10),
     "spelling_levenshtein": f"""
 WITH {DOC_CTE},
 words(word) AS (VALUES ('spark'), ('merg'))

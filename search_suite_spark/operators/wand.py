@@ -271,6 +271,132 @@ def _single_term_topk(
     )
 
 
+def _score_conjunctive(lists, caches, terms_meta, idfs, avgdl, k, deleted_ids):
+    """Score ONE conjunctive query against a shard's decoded term lists.
+
+    lists/caches may cover a SUPERSET of this query's terms (the batch
+    kernel scores many queries against one shard decode; caches are
+    shared so a block decoded for one query is reused by the next).
+    terms_meta: {term: (global_df, multiplicity)} for THIS query.
+    Returns the kernel-local result frame (doc_id, score, term_count).
+    """
+    n_instances = sum(m for _, m in terms_meta.values())
+    if any(t not in lists for t in terms_meta):
+        # some query term has no postings in this shard → empty AND
+        return _empty_result()
+    # rarest-first by shard-local posting count
+    order = sorted(terms_meta, key=lambda t: lists[t].n)
+
+    if len(order) == 1 and k is not None:
+        t = order[0]
+        return _single_term_topk(
+            lists[t], idfs[t], terms_meta[t][1],
+            n_instances, avgdl, k, deleted_ids,
+        )
+
+    # ---- phase 1+2: ids-only intersection ------------------------
+    cand_ids = lists[order[0]].decode_all_ids()
+    for t in order[1:]:
+        if cand_ids.size == 0:
+            return _empty_result()
+        tl = lists[t]
+        blocks = np.searchsorted(tl.block_last, cand_ids, side="left")
+        in_range = blocks < tl.block_last.size
+        cand_ids = cand_ids[in_range]
+        ids = tl.decode_blocks_ids(np.unique(blocks[in_range]))
+        pos = np.searchsorted(ids, cand_ids)
+        pos_ok = pos < ids.size
+        hit = np.zeros(cand_ids.size, dtype=bool)
+        hit[pos_ok] = ids[pos[pos_ok]] == cand_ids[pos_ok]
+        cand_ids = cand_ids[hit]
+
+    if deleted_ids.size and cand_ids.size:
+        dead = np.searchsorted(deleted_ids, cand_ids)
+        dead_ok = dead < deleted_ids.size
+        is_dead = np.zeros(cand_ids.size, dtype=bool)
+        is_dead[dead_ok] = deleted_ids[dead[dead_ok]] == cand_ids[dead_ok]
+        cand_ids = cand_ids[~is_dead]
+
+    if cand_ids.size == 0:
+        return _empty_result()
+
+    # ---- phase 3: block-max upper bounds ---------------------------
+    # ub_term = mult · idf · impact(max_tf, min_dl)   when idf ≥ 0
+    #         = mult · idf · impact(min_tf, max_dl)   when idf <  0
+    # (idf may be negative — ranking.rs:43-49 — which flips which
+    # block extremum bounds the contribution from above)
+    for t in order:
+        caches.setdefault(t, _BlockCache(lists[t]))
+    ub = np.zeros(cand_ids.size, dtype=np.float64)
+    for t in order:
+        c = caches[t]
+        blk = c.block_of(cand_ids)
+        mult = terms_meta[t][1]
+        if idfs[t] >= 0:
+            btf = lists[t].meta("block_max_tf")[blk]
+            bdl = lists[t].meta("block_min_dl")[blk]
+        else:
+            btf = lists[t].meta("block_min_tf")[blk]
+            bdl = lists[t].meta("block_max_dl")[blk]
+        ub += mult * idfs[t] * impact_bound(btf, bdl, avgdl)
+
+    # score exactly in upper-bound order, chunked; stop when the next
+    # chunk's best possible score cannot beat the running θ (k-th best
+    # exact score). ub ≥ exact always (impact ↑ in tf, ↓ in dl), so
+    # pruning is lossless; ties with θ are kept (global tie-break on
+    # doc_id happens at the Spark layer).
+    by_ub = np.argsort(-ub, kind="stable")
+    chunk = max(1024, 0 if k is None else 4 * k)
+    kept_ids: list[np.ndarray] = []
+    kept_scores: list[np.ndarray] = []
+    theta = -np.inf
+    n_scored = 0
+    for s in range(0, by_ub.size, chunk):
+        sel = by_ub[s : s + chunk]
+        if k is not None and n_scored >= k and ub[sel[0]] < theta:
+            break  # no remaining candidate can enter the top-k
+        ids_c = cand_ids[sel]
+        score = np.zeros(ids_c.size, dtype=np.float64)
+        for t in order:
+            tf, dl = caches[t].lookup(ids_c)
+            score += terms_meta[t][1] * idfs[t] * impact(tf, dl, avgdl)
+        kept_ids.append(ids_c)
+        kept_scores.append(score)
+        n_scored += ids_c.size
+        if k is not None and n_scored >= k:
+            all_scores = np.concatenate(kept_scores)
+            theta = np.partition(all_scores, all_scores.size - k)[
+                all_scores.size - k
+            ]
+
+    out_ids = np.concatenate(kept_ids)
+    out_scores = np.concatenate(kept_scores)
+    if k is not None and out_ids.size > k:
+        # keep everything scoring ≥ the k-th best (ties survive for
+        # the global doc_id tie-break), drop the provably-out rest
+        keep = out_scores >= theta
+        out_ids, out_scores = out_ids[keep], out_scores[keep]
+
+    return pd.DataFrame(
+        {
+            "doc_id": out_ids.view(np.int64),
+            "score": out_scores,
+            "term_count": np.full(out_ids.size, n_instances, dtype=np.int32),
+        }
+    )
+
+
+def _build_lists(pdf: pd.DataFrame) -> dict:
+    """Group a shard's posting rows into _TermLists (vectorized row
+    grouping: to_dict('records') hands each row to _TermList as a plain
+    dict — iterrows built a pandas Series per row, measurably slower
+    once split rows multiply the row count)."""
+    return {
+        t: _TermList(g.to_dict("records"))
+        for t, g in pdf.groupby("term", sort=False)
+    }
+
+
 def _shard_kernel(terms_meta, n_docs, avgdl, k):
     """Build the per-shard conjunctive block-max scorer.
 
@@ -286,7 +412,6 @@ def _shard_kernel(terms_meta, n_docs, avgdl, k):
     table by shard so each kernel invocation gets only its shard's slice
     (high volume — nothing ever materializes on the driver).
     """
-    n_instances = sum(m for _, m in terms_meta.values())
     df_in_rows = any(df is None for df, _ in terms_meta.values())
     idfs = (
         {}
@@ -302,119 +427,58 @@ def _shard_kernel(terms_meta, n_docs, avgdl, k):
             # single-job path: a term absent from the dictionary joins
             # away everywhere)
             return _empty_result()
-        # vectorized row grouping: to_dict('records') hands each row to
-        # _TermList as a plain dict (iterrows built a pandas Series per
-        # row — measurably slower once split rows multiply the row count)
-        lists = {}
-        for t, g in pdf.groupby("term", sort=False):
-            lists[t] = _TermList(g.to_dict("records"))
-            if df_in_rows:
-                # global df rides every posting row (dictionary
-                # broadcast join); constant per term — idempotent to
-                # recompute across shards of the same worker
+        lists = _build_lists(pdf)
+        if df_in_rows:
+            # global df rides every posting row (dictionary broadcast
+            # join); constant per term — idempotent to recompute across
+            # shards of the same worker
+            for t, g in pdf.groupby("term", sort=False):
                 idfs[t] = _idf(n_docs, int(g["df"].iat[0]))
-        # rarest-first by shard-local posting count
-        order = sorted(lists, key=lambda t: lists[t].n)
         _stats_dict()["blocks_total"] += sum(
-            lists[t].block_last.size for t in order
+            tl.block_last.size for tl in lists.values()
+        )
+        return _score_conjunctive(
+            lists, {}, terms_meta, idfs, avgdl, k, deleted_ids
         )
 
-        if len(order) == 1 and k is not None:
-            t = order[0]
-            return _single_term_topk(
-                lists[t], idfs[t], terms_meta[t][1],
-                n_instances, avgdl, k, deleted_ids,
+    return kernel
+
+
+def _batch_shard_kernel(queries_meta, n_docs, avgdl, k):
+    """Per-shard kernel scoring MANY conjunctive queries in one pass.
+
+    queries_meta: {qid: {term: (global_df, multiplicity)}}. The shard's
+    posting rows (the union of every query's terms) are grouped into
+    _TermLists ONCE and the block caches are SHARED — a block decoded
+    for one query is free for every other query touching it. Output rows
+    carry the qid; per-query top-k and url resolution happen at the
+    Spark layer.
+    """
+    idfs = {
+        t: _idf(n_docs, df)
+        for qm in queries_meta.values()
+        for t, (df, _) in qm.items()
+    }
+
+    def kernel(pdf: pd.DataFrame, deleted_ids: np.ndarray) -> pd.DataFrame:
+        lists = _build_lists(pdf)
+        _stats_dict()["blocks_total"] += sum(
+            tl.block_last.size for tl in lists.values()
+        )
+        caches: dict = {}
+        outs = []
+        for qid, qm in queries_meta.items():
+            out = _score_conjunctive(
+                lists, caches, qm, idfs, avgdl, k, deleted_ids
             )
-
-        # ---- phase 1+2: ids-only intersection ------------------------
-        cand_ids = lists[order[0]].decode_all_ids()
-        for t in order[1:]:
-            if cand_ids.size == 0:
-                return _empty_result()
-            tl = lists[t]
-            blocks = np.searchsorted(tl.block_last, cand_ids, side="left")
-            in_range = blocks < tl.block_last.size
-            cand_ids = cand_ids[in_range]
-            ids = tl.decode_blocks_ids(np.unique(blocks[in_range]))
-            pos = np.searchsorted(ids, cand_ids)
-            pos_ok = pos < ids.size
-            hit = np.zeros(cand_ids.size, dtype=bool)
-            hit[pos_ok] = ids[pos[pos_ok]] == cand_ids[pos_ok]
-            cand_ids = cand_ids[hit]
-
-        if deleted_ids.size and cand_ids.size:
-            dead = np.searchsorted(deleted_ids, cand_ids)
-            dead_ok = dead < deleted_ids.size
-            is_dead = np.zeros(cand_ids.size, dtype=bool)
-            is_dead[dead_ok] = deleted_ids[dead[dead_ok]] == cand_ids[dead_ok]
-            cand_ids = cand_ids[~is_dead]
-
-        if cand_ids.size == 0:
-            return _empty_result()
-
-        # ---- phase 3: block-max upper bounds ---------------------------
-        # ub_term = mult · idf · impact(max_tf, min_dl)   when idf ≥ 0
-        #         = mult · idf · impact(min_tf, max_dl)   when idf <  0
-        # (idf may be negative — ranking.rs:43-49 — which flips which
-        # block extremum bounds the contribution from above)
-        caches = {t: _BlockCache(lists[t]) for t in order}
-        ub = np.zeros(cand_ids.size, dtype=np.float64)
-        for t in order:
-            c = caches[t]
-            blk = c.block_of(cand_ids)
-            mult = terms_meta[t][1]
-            if idfs[t] >= 0:
-                btf = lists[t].meta("block_max_tf")[blk]
-                bdl = lists[t].meta("block_min_dl")[blk]
-            else:
-                btf = lists[t].meta("block_min_tf")[blk]
-                bdl = lists[t].meta("block_max_dl")[blk]
-            ub += mult * idfs[t] * impact_bound(btf, bdl, avgdl)
-
-        # score exactly in upper-bound order, chunked; stop when the next
-        # chunk's best possible score cannot beat the running θ (k-th best
-        # exact score). ub ≥ exact always (impact ↑ in tf, ↓ in dl), so
-        # pruning is lossless; ties with θ are kept (global tie-break on
-        # doc_id happens at the Spark layer).
-        by_ub = np.argsort(-ub, kind="stable")
-        chunk = max(1024, 0 if k is None else 4 * k)
-        kept_ids: list[np.ndarray] = []
-        kept_scores: list[np.ndarray] = []
-        theta = -np.inf
-        n_scored = 0
-        for s in range(0, by_ub.size, chunk):
-            sel = by_ub[s : s + chunk]
-            if k is not None and n_scored >= k and ub[sel[0]] < theta:
-                break  # no remaining candidate can enter the top-k
-            ids_c = cand_ids[sel]
-            score = np.zeros(ids_c.size, dtype=np.float64)
-            for t in order:
-                tf, dl = caches[t].lookup(ids_c)
-                score += terms_meta[t][1] * idfs[t] * impact(tf, dl, avgdl)
-            kept_ids.append(ids_c)
-            kept_scores.append(score)
-            n_scored += ids_c.size
-            if k is not None and n_scored >= k:
-                all_scores = np.concatenate(kept_scores)
-                theta = np.partition(all_scores, all_scores.size - k)[
-                    all_scores.size - k
-                ]
-
-        out_ids = np.concatenate(kept_ids)
-        out_scores = np.concatenate(kept_scores)
-        if k is not None and out_ids.size > k:
-            # keep everything scoring ≥ the k-th best (ties survive for
-            # the global doc_id tie-break), drop the provably-out rest
-            keep = out_scores >= theta
-            out_ids, out_scores = out_ids[keep], out_scores[keep]
-
-        return pd.DataFrame(
-            {
-                "doc_id": out_ids.view(np.int64),
-                "score": out_scores,
-                "term_count": np.full(out_ids.size, n_instances, dtype=np.int32),
-            }
-        )
+            if len(out):
+                out.insert(0, "qid", qid)
+                outs.append(out)
+        if not outs:
+            e = _empty_result()
+            e.insert(0, "qid", pd.Series([], dtype=object))
+            return e
+        return pd.concat(outs, ignore_index=True)
 
     return kernel
 
@@ -424,6 +488,30 @@ def _shard_kernel(terms_meta, n_docs, avgdl, k):
 # instead (compaction garbage-collects deletes, so most segments sit far
 # below this; the cap is a driver-OOM guard for delete-heavy workloads)
 DELETES_BROADCAST_MAX = 1 << 16
+
+
+def _route_deletes(seg: Segment, deletes_broadcast_max: int):
+    """(collected_array, deletes_df) — exactly one is populated.
+
+    Volume routing reads the segment's metadata hint (parquet footer
+    row-count sum, an upper bound on distinct ids — conservative-safe)
+    so no per-query driver count() job runs; only when the hint is
+    unavailable does a live count decide."""
+    deleted = np.empty(0, dtype=np.uint64)
+    deletes_df = None
+    if seg.deletes is not None:
+        d = seg.deletes.select("doc_id").distinct()
+        n_del = (
+            seg.n_deletes_hint
+            if seg.n_deletes_hint is not None
+            else d.count()
+        )
+        if n_del <= deletes_broadcast_max:
+            vals = [r["doc_id"] for r in d.collect()]
+            deleted = np.sort(np.array(vals, dtype=np.int64).view(np.uint64))
+        else:
+            deletes_df = d
+    return deleted, deletes_df
 
 
 def wand_scored(
@@ -501,24 +589,7 @@ def wand_scored(
             return empty
         terms_meta = {t: (dfs[t], m) for t, m in multiplicity.items()}
 
-    deleted = np.empty(0, dtype=np.uint64)
-    deletes_df = None
-    if seg.deletes is not None:
-        d = seg.deletes.select("doc_id").distinct()
-        # segment metadata carries a row-count upper bound for the
-        # deletes table (parquet footer sum, read once at read_segment
-        # time) — distinct ≤ rows, so routing on the hint is
-        # conservative-safe and saves a per-query driver count() job
-        n_del = (
-            seg.n_deletes_hint
-            if seg.n_deletes_hint is not None
-            else d.count()
-        )
-        if n_del <= deletes_broadcast_max:
-            vals = [r["doc_id"] for r in d.collect()]
-            deleted = np.sort(np.array(vals, dtype=np.int64).view(np.uint64))
-        else:
-            deletes_df = d
+    deleted, deletes_df = _route_deletes(seg, deletes_broadcast_max)
 
     kernel = _shard_kernel(terms_meta, seg.num_docs, seg.avgdl, max_results)
     if stats is not None:
@@ -580,4 +651,132 @@ def wand_scored(
     return (
         out.select("url", "score", "term_count")
         .orderBy(F.col("score").desc(), F.col("url"))
+    )
+
+
+BATCH_RESULT_SCHEMA = "qid string, doc_id long, score double, term_count int"
+
+
+def bm25_batch(
+    seg: Segment,
+    queries: dict[str, str],
+    max_results: int | None = 10,
+    deletes_broadcast_max: int = DELETES_BROADCAST_MAX,
+    stats: dict | None = None,
+    term_dfs: dict[str, int] | None = None,
+) -> DataFrame:
+    """Score MANY conjunctive queries against one segment in ONE Spark
+    action → (qid, url, score, term_count), each qid's rows
+    rank-identical to ``wand_scored(seg, queries[qid])``.
+
+    The throughput shape Spark is actually good at: the reference serves
+    concurrent queries from an always-on API (Controller.hs:73) at ~ms
+    each; a Spark job pays a fixed plan+submit cost per ACTION, so the
+    way to win is to amortize it — one posting scan pruned to the UNION
+    of all queries' terms, one shard shuffle, one kernel pass scoring
+    every query, with block decodes SHARED across queries that touch the
+    same term. A 10k-query relevance sweep (e.g. mining BM25 hard
+    negatives for retriever training) runs as one job instead of 10k.
+
+    Per-query semantics are identical to wand_scored: conjunctive AND,
+    duplicate-term multiplicity, missing-term fast abort (empty result
+    for that qid only), deletes filtering, top-k with score-then-url
+    ordering.
+    """
+    spark = seg.postings.sparkSession
+    if stats is not None:
+        stats["blocks_decoded"] = spark.sparkContext.accumulator(0)
+        stats["blocks_total"] = spark.sparkContext.accumulator(0)
+    empty = spark.createDataFrame(
+        [], "qid string, url string, score double, term_count int"
+    )
+    multis = {qid: Counter(normalise(q)) for qid, q in queries.items()}
+    all_terms = sorted({t for m in multis.values() for t in m})
+    if not all_terms:
+        return empty
+    # term_dfs: a collection caller batched every segment's dictionary
+    # lookups into one job (registry.collection_term_dfs) — same seam as
+    # wand_scored's
+    dfs = (
+        {t: term_dfs[t] for t in all_terms if t in term_dfs}
+        if term_dfs is not None
+        else seg.term_dfs(all_terms)
+    )
+    # global missing-term abort per query (query.rs:34-40): a query with
+    # any dictionary-absent term contributes nothing; drop it before the
+    # scan so its other terms don't widen the posting filter
+    queries_meta = {
+        qid: {t: (dfs[t], mult) for t, mult in m.items()}
+        for qid, m in multis.items()
+        if m and all(t in dfs for t in m)
+    }
+    if not queries_meta:
+        return empty
+    live_terms = sorted({t for qm in queries_meta.values() for t in qm})
+    rows = seg.postings.filter(F.col("term").isin(live_terms))
+
+    deleted, deletes_df = _route_deletes(seg, deletes_broadcast_max)
+    kernel = _batch_shard_kernel(
+        queries_meta, seg.num_docs, seg.avgdl, max_results
+    )
+    if stats is not None:
+        acc_dec = stats["blocks_decoded"]
+        acc_tot = stats["blocks_total"]
+        inner = kernel
+
+        def kernel(pdf, deleted_ids, _inner=inner):
+            sd = _stats_dict()
+            d0, t0 = sd["blocks_decoded"], sd["blocks_total"]
+            out = _inner(pdf, deleted_ids)
+            acc_dec.add(sd["blocks_decoded"] - d0)
+            acc_tot.add(sd["blocks_total"] - t0)
+            return out
+
+    if deletes_df is None:
+        cands = rows.groupBy("shard").applyInPandas(
+            lambda pdf: kernel(pdf, deleted), BATCH_RESULT_SCHEMA
+        )
+    else:
+        from search_suite_spark.sources.segments import shard_of_doc_id
+
+        if seg.n_shards <= 0:
+            raise ValueError(
+                "cogrouped deletes need Segment.n_shards > 0 "
+                f"(got {seg.n_shards}); read the segment via read_segment "
+                "or raise deletes_broadcast_max"
+            )
+        del_sharded = deletes_df.withColumn(
+            "shard", shard_of_doc_id(seg.n_shards)
+        )
+
+        def cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            dead = np.sort(
+                right["doc_id"].to_numpy(dtype=np.int64).view(np.uint64)
+            )
+            return kernel(left, dead)
+
+        cands = (
+            rows.groupBy("shard")
+            .cogroup(del_sharded.groupBy("shard"))
+            .applyInPandas(cg, BATCH_RESULT_SCHEMA)
+        )
+
+    # per-shard kernels already pruned each query to its local top-k
+    # (+ θ-ties), so the docs join touches ≤ ~k·n_shards rows per query;
+    # the per-qid global top-k is a row_number window with the same
+    # score-then-url tie-break as the single-query path
+    out = cands.join(seg.docs.select("doc_id", "url"), "doc_id")
+    if max_results is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("url")
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_results)
+            .drop("_rn")
+        )
+    return out.select("qid", "url", "score", "term_count").orderBy(
+        "qid", F.col("score").desc(), F.col("url")
     )

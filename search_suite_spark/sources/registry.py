@@ -313,3 +313,52 @@ def query_collection(
     if max_results is not None:
         out = out.limit(max_results)
     return out
+
+
+def query_collection_batch(
+    segs: dict[str, Segment] | list[Segment],
+    queries: dict[str, str],
+    max_results: int | None = 10,
+) -> DataFrame:
+    """MANY scored queries across ALL segments in one Spark action →
+    (qid, url, score): per-(segment, qid) top-k inside the batch shard
+    kernels, global per-qid url-dedupe keeping the max score, per-qid
+    re-sort + limit — each qid's rows identical to
+    ``query_collection(segs, queries[qid])``.
+
+    The N-segments × M-queries workload costs ONE batched dictionary job
+    + ONE result job total (the reference answers this shape with one
+    process per segment per query, QueryProcessor.hs:72)."""
+    from search_suite_spark.functions.normalise import normalise
+    from search_suite_spark.operators.wand import bm25_batch
+
+    seg_list = list(segs.values()) if isinstance(segs, dict) else list(segs)
+    if not seg_list:
+        raise ValueError("empty collection")
+    q_terms = sorted({t for q in queries.values() for t in normalise(q)})
+    dfs_list = collection_term_dfs(seg_list, q_terms)
+    parts = [
+        bm25_batch(
+            s, queries, max_results=max_results, term_dfs=dfs_list[i]
+        ).select("qid", "url", "score")
+        for i, s in enumerate(seg_list)
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    dd = W.partitionBy("qid", "url").orderBy(F.col("score").desc())
+    out = (
+        allr.withColumn("_rn", F.row_number().over(dd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if max_results is not None:
+        topk = W.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("url")
+        )
+        out = (
+            out.withColumn("_rk", F.row_number().over(topk))
+            .filter(F.col("_rk") <= max_results)
+            .drop("_rk")
+        )
+    return out.orderBy("qid", F.col("score").desc(), F.col("url"))

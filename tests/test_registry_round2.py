@@ -167,3 +167,40 @@ def test_collection_term_dfs_single_batched_job(spark, tmp_path):
         total_doc_len=seg_list[0].total_doc_len, deletes=None, terms=None,
     )
     assert collection_term_dfs([bare], ["shared"])[0] == bare.term_dfs(["shared"])
+
+
+def test_query_collection_batch_matches_individual(spark, tmp_path):
+    """query_collection_batch: each qid's (url, score) rows must equal
+    query_collection on that query alone — N segments x M queries in one
+    action, including a qid whose term is missing everywhere."""
+    from search_suite_spark.sources.registry import query_collection_batch
+
+    col = str(tmp_path / "col")
+    index_into_collection(
+        spark, pages_from_docs_list(spark, DOCS_A), col, compact=False
+    )
+    index_into_collection(
+        spark, pages_from_docs_list(spark, DOCS_B), col, compact=False
+    )
+    segs = load_collection(spark, col)
+    assert len(segs) >= 2
+    queries = {
+        "q_shared": "shared",
+        "q_and": "foo shared",
+        "q_missing": "zzznope",
+    }
+    batch = query_collection_batch(segs, queries, max_results=5).collect()
+    by_qid: dict[str, list] = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["url"], round(r["score"], 9))
+        )
+    assert "q_missing" not in by_qid
+    for qid, q in queries.items():
+        if qid == "q_missing":
+            continue
+        solo = [
+            (r["url"], round(r["score"], 9))
+            for r in query_collection(segs, q, max_results=5).collect()
+        ]
+        assert by_qid.get(qid, []) == solo, qid

@@ -334,3 +334,53 @@ def test_df_strategy_paths_agree(spark, seg):
         )
         assert key(via_join) == key(via_default) == key(via_caller) == key(via_scan), q
     assert wand_scored(seg, "zzznope").count() == 0
+
+
+def test_bm25_batch_matches_individual(spark, seg):
+    """bm25_batch scores N queries in ONE action; each qid's rows must
+    be identical to wand_scored on that query alone — including the
+    duplicate-term multiplicity, the per-query missing-term abort, and
+    an all-empty batch."""
+    from search_suite_spark.operators.wand import bm25_batch
+
+    queries = {
+        "q_and": "spark merge",
+        "q_single": "spark",
+        "q_dup": "spark spark merge",
+        "q_missing": "spark zzznope",
+        "q_empty": "!!!",
+    }
+    batch = bm25_batch(seg, queries, max_results=5).collect()
+    by_qid: dict[str, list] = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["url"], round(r["score"], 9), r["term_count"])
+        )
+    assert "q_missing" not in by_qid and "q_empty" not in by_qid
+    for qid, q in queries.items():
+        if qid in ("q_missing", "q_empty"):
+            continue
+        solo = [
+            (r["url"], round(r["score"], 9), r["term_count"])
+            for r in wand_scored(seg, q, max_results=5).collect()
+        ]
+        assert by_qid.get(qid, []) == solo, qid
+    assert bm25_batch(seg, {"a": "zzznope", "b": "!!!"}).count() == 0
+
+
+def test_bm25_batch_respects_deletes(spark, seg):
+    """Batch scoring must filter deleted docs exactly like the
+    single-query path (both deletes routings share _route_deletes)."""
+    from search_suite_spark.operators.wand import bm25_batch
+
+    s2 = read_segment(spark, seg.path)
+    if s2.deletes is None:
+        delete_url(spark, s2, sorted(
+            r["url"] for r in s2.docs.select("url").collect())[0])
+        s2 = read_segment(spark, seg.path)
+    for kwargs in ({}, {"deletes_broadcast_max": 0}):
+        batch = bm25_batch(s2, {"q": "doc"}, max_results=20, **kwargs)
+        solo = wand_scored(s2, "doc", max_results=20, **kwargs)
+        assert [
+            (r["url"], round(r["score"], 9)) for r in batch.collect()
+        ] == [(r["url"], round(r["score"], 9)) for r in solo.collect()]
