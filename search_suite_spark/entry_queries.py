@@ -642,6 +642,28 @@ def q_collection_scatter_gather(spark, sf_dir):
     )
 
 
+COLLECTION_BATCH_QUERIES = {
+    "qx": ["spark", "merge"],
+    "qy": ["the"],
+    "qz": ["merge", "join"],
+}
+
+
+def q_collection_batch(spark, sf_dir):
+    """M scored queries x N segments in ONE batched dictionary job + one
+    result job (registry.query_collection_batch) — each qid's rows
+    identical to query_collection on that query alone."""
+    from search_suite_spark.sources.registry import query_collection_batch
+
+    segs = _collection(spark, sf_dir)
+    out = query_collection_batch(
+        segs,
+        {qid: " ".join(ts) for qid, ts in COLLECTION_BATCH_QUERIES.items()},
+        max_results=10,
+    )
+    return out.select("qid", "url", F.round("score", 6).alias("score"))
+
+
 def q_spelling_collection(spark, sf_dir):
     """Q14 multi-segment: per-segment dictionary scans merged as the
     reference's word→dist→set monoid (set union of suggestion rows)."""
@@ -691,6 +713,7 @@ SPARK_QUERIES = {
     "cached_page": q_cached_page,
     "doc_status": q_doc_status,
     "collection_scatter_gather": q_collection_scatter_gather,
+    "collection_batch": q_collection_batch,
     "merge_then_query": q_merge_then_query,
     "query_with_metadata": q_query_with_metadata,
     "bm25_partial_match": q_bm25_partial_match,
@@ -769,6 +792,46 @@ merged AS (
 SELECT url, round(exact_score, 6) AS score
 FROM merged ORDER BY exact_score DESC, url LIMIT {k}
 """.strip()
+
+
+def _scatter_gather_batch_sql(
+    queries: dict[str, list[str]], k: int = 10
+) -> str:
+    """Batched twin of _scatter_gather_sql: one shared per-half corpus
+    CTE, one scored→per-seg-top-k→url-merged chain per qid, UNION ALL —
+    mirrors registry.query_collection_batch."""
+    parts = []
+    for qid, terms in queries.items():
+        tl = ", ".join(f"'{t}'" for t in terms)
+        n = len(terms)
+        parts.append(f"""
+scored_{qid} AS (
+  SELECT t.half, t.url,
+         sum( ln((s.num_docs - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * 2.2)
+              / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.doc_len::DOUBLE / s.avgdl::DOUBLE)))
+            ) AS exact_score
+  FROM tf t
+  JOIN dict d ON d.half = t.half AND d.term = t.term
+  JOIN dl ON dl.half = t.half AND dl.url = t.url
+  JOIN stats s ON s.half = t.half
+  WHERE t.term IN ({tl})
+  GROUP BY t.half, t.url
+  HAVING count(*) = {n}
+),
+r_{qid} AS (
+  SELECT '{qid}' AS qid, url, round(exact_score, 6) AS score
+  FROM (
+    SELECT url, max(exact_score) AS exact_score
+    FROM (
+      SELECT half, url, exact_score,
+             row_number() OVER (PARTITION BY half ORDER BY exact_score DESC, url) AS rn
+      FROM scored_{qid}
+    ) WHERE rn <= {k} GROUP BY url
+  ) ORDER BY exact_score DESC, url LIMIT {k}
+)""".strip())
+    sel = " UNION ALL ".join(f"SELECT * FROM r_{q}" for q in queries)
+    return f"WITH {_HALF_CTE},\n" + ",\n".join(parts) + f"\n{sel}"
 
 
 def _jaccard_sql(max_doc_id: int, threshold: float) -> str:
@@ -1087,6 +1150,7 @@ FROM want LEFT JOIN docs ON want.url = docs.url
     "ann_lsh_topk": _lsh_topk_sql(),
     "ann_lsh_multiprobe": _lsh_topk_sql(max_hamming=1),
     "collection_scatter_gather": _scatter_gather_sql(["spark", "merge"]),
+    "collection_batch": _scatter_gather_batch_sql(COLLECTION_BATCH_QUERIES),
     "spelling_collection": f"""
 WITH {_HALF_CTE},
 words(word) AS (VALUES ('spark'), ('merg'))
