@@ -591,6 +591,24 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
     return D.jaccard_pairs(p, n=1, threshold=0.5, candidates=cands)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Full near-dup pipeline verdict: LSH proposes pairs, Jaccard
+    verifies, connected components group, canonical selection keeps the
+    min-url doc per cluster (dedup.connected_components — min-label
+    propagation with an exact convergence check; the DuckDB twin is a
+    recursive reachability CTE)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    p = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    cands = D.minhash_candidates(p, n=1, bands=4)
+    pairs = D.jaccard_pairs(p, n=1, threshold=0.5, candidates=cands)
+    return D.dedup_keep_canonical(p, pairs)
+
+
 def q_ann_lsh_multiprobe(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.lsh_ann_topk(
@@ -718,6 +736,7 @@ SPARK_QUERIES = {
     "query_with_metadata": q_query_with_metadata,
     "bm25_partial_match": q_bm25_partial_match,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "spelling_collection": q_spelling_collection,
 }
@@ -1220,6 +1239,49 @@ FROM inter
 JOIN sz sa ON sa.url = a
 JOIN sz sb ON sb.url = b
 WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.5
+""".strip(),
+    "dedup_clusters": f"""
+WITH RECURSIVE pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents WHERE doc_id < 60
+),
+sh AS (
+  SELECT DISTINCT url, unnest({tok_sql('text')}) AS shingle FROM pages
+),
+sig AS (
+  SELECT url, b.band, min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS sig
+  FROM sh, (SELECT unnest(range(4)) AS band) b
+  GROUP BY url, b.band
+),
+cand AS (
+  SELECT DISTINCT x.url AS a, y.url AS b
+  FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
+  WHERE x.url < y.url
+),
+sz AS (SELECT url, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY url),
+inter AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS ni
+  FROM cand c
+  JOIN sh x ON x.url = c.a
+  JOIN sh y ON y.url = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sz sa ON sa.url = a
+  JOIN sz sb ON sb.url = b
+  WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.5
+),
+sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, label) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, r.label FROM sym s JOIN reach r ON r.u = s.v
+),
+cc AS (SELECT u AS url, min(label) AS cluster FROM reach GROUP BY u)
+SELECT p.url,
+       coalesce(cc.cluster, p.url) AS cluster,
+       CAST(p.url = coalesce(cc.cluster, p.url) AS BIGINT) AS keep
+FROM pages p LEFT JOIN cc ON cc.url = p.url
 """.strip(),
     "emb_neardup": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 80),

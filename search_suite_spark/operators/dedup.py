@@ -302,3 +302,92 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected (a, b) pair frame →
+    (url, cluster), cluster = MIN key reachable from url (lexicographic,
+    so the representative is deterministic and DuckDB-reproducible).
+
+    Min-label propagation: each round every node adopts the smallest
+    label in its closed neighborhood; one distributed join + aggregate
+    per round, converging in graph-diameter rounds with an exact
+    convergence check (count of changed labels — one small driver action
+    per round). Near-dup graphs are LSH-bucket near-cliques with
+    diameter 2-4, so the loop is short; for adversarial long-chain
+    graphs the bounded-round alternative is alternating large-star/
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), which this implementation deliberately
+    trades away for plan simplicity — it raises rather than silently
+    returning unconverged labels. localCheckpoint truncates the plan
+    each round so the lineage does not grow with iterations.
+
+    The reference has no component stage at all (its only dedupe is
+    pairwise newest-wins by url, indexer-qp2/src/merge/common_urls.rs);
+    this is the step a training-data pipeline needs between pairwise
+    near-dup output and "keep one doc per cluster".
+    """
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("url"))
+        .distinct()
+        .withColumn("label", F.col("url"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.v == labels.url)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.url == neigh_min.u, "left")
+            .select(
+                "url",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "url")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("url", F.col("label").alias("cluster"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the pair graph has pathological diameter — raise max_iter or "
+        "switch to star-contraction"
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, key: str = "url"
+) -> DataFrame:
+    """(key, cluster, keep): cluster = min key of the doc's near-dup
+    component (the doc itself when it has no dup pair), keep = 1 for the
+    one canonical doc per cluster, 0 for the rest.
+
+    The end-to-end LSM-pipeline dedup verdict: LSH proposes pairs,
+    Jaccard verifies, components group, and this selects — filtering
+    `keep = 1` yields the deduplicated corpus."""
+    cc = connected_components(pairs)
+    return df.select(F.col(key)).join(cc, df[key] == cc.url, "left").select(
+        df[key],
+        F.coalesce(F.col("cluster"), df[key]).alias("cluster"),
+        (df[key] == F.coalesce(F.col("cluster"), df[key]))
+        .cast("long")
+        .alias("keep"),
+    )
