@@ -453,6 +453,74 @@ def q_html_metadata(spark, sf_dir):
     )
 
 
+def _entry_fake_fetcher(url: str) -> bytes:
+    """Deterministic no-network fetcher for the S3 oracle: body derived
+    from the url; every 7th doc 404s (exercises the failure report
+    path). Module-level so executors pickle it by reference."""
+    doc = int(url.rsplit("/", 1)[-1])
+    if doc % 7 == 0:
+        raise OSError("HTTP 404")
+    return f"synthetic body {doc} of {url}".encode()
+
+
+def q_url_ingest(spark, sf_dir):
+    """S3 url-list ingest (Indexation.hs:64-100): host-partitioned
+    politeness + bounded-concurrency fetch + strict-decode reject, with
+    a deterministic injected fetcher (the sandbox has no network — the
+    DuckDB twin recomputes each fetched body from the url)."""
+    from search_suite_spark.sources.acquire import ingest_url_list
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+        .collect()
+    ]
+    urls = [f"http://h{i % 5}.example/{i}" for i in sorted(ids)]
+    pages, report = ingest_url_list(
+        spark, urls, fetcher=_entry_fake_fetcher
+    )
+    assert len(report["failure"]) == sum(1 for i in ids if i % 7 == 0)
+    return pages.select("url", "text")
+
+
+def q_metadata_merge(spark, sf_dir):
+    """M11 metadata merge (Metadata.hs:142-233): two overlapping
+    per-segment metadata tables union into one row per url, the A side
+    winning EQ — meta['source'] records which side survived."""
+    from search_suite_spark.functions.html_meta import (
+        merge_metadata,
+        page_metadata,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+
+    def side(pred, tag):
+        return page_metadata(
+            docs.filter(pred).select(
+                F.concat(
+                    F.lit("doc://"), F.col("doc_id").cast("string")
+                ).alias("url"),
+                F.format_string(
+                    _HTML_TMPL,
+                    F.col("doc_id").cast("string"),
+                    "lang",
+                    F.lit(tag),
+                    "text",
+                ).alias("html_text"),
+            )
+        )
+
+    a = side(F.col("doc_id") % 3 != 2, "A")
+    b = side(F.col("doc_id") % 2 == 0, "B")
+    return merge_metadata(a, b).select(
+        "url", "title", F.col("meta")["source"].alias("meta_source")
+    )
+
+
 def _media_meta(spark, sf_dir):
     from search_suite_spark.operators.multimodal import (
         decode_media_meta,
@@ -724,6 +792,8 @@ SPARK_QUERIES = {
     "bm25_batch": q_bm25_batch,
     "spelling_levenshtein": q_spelling_levenshtein,
     "html_metadata": q_html_metadata,
+    "url_ingest": q_url_ingest,
+    "metadata_merge": q_metadata_merge,
     "media_meta": q_media_meta,
     "media_resize_plan": q_media_resize_plan,
     "media_frame_sample": q_media_frame_sample,
@@ -1072,6 +1142,23 @@ words(word) AS (VALUES ('spark'), ('merg'))
 SELECT word, CAST(levenshtein(term, word) AS INT) AS dist, term AS suggestion
 FROM dict, words
 WHERE abs(length(term) - length(word)) <= 1 AND levenshtein(term, word) <= 1
+""".strip(),
+    "url_ingest": """
+SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'synthetic body ' || CAST(doc_id AS VARCHAR) || ' of http://h'
+         || CAST(doc_id % 5 AS VARCHAR) || '.example/'
+         || CAST(doc_id AS VARCHAR) AS text
+FROM documents
+WHERE doc_id < 120 AND doc_id % 7 <> 0
+""".strip(),
+    "metadata_merge": """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CASE WHEN doc_id % 3 <> 2 THEN 'A' ELSE 'B' END AS meta_source
+FROM d
+WHERE doc_id % 3 <> 2 OR doc_id % 2 = 0
 """.strip(),
     "html_metadata": """
 WITH pages AS (

@@ -67,6 +67,32 @@ def page_metadata(pages: DataFrame, html_col: str = "html_text") -> DataFrame:
     ).select("url", F.col("m.title").alias("title"), F.col("m.meta").alias("meta"))
 
 
+def merge_metadata(meta_a: DataFrame, meta_b: DataFrame) -> DataFrame:
+    """M11: 2-way metadata merge by url (Metadata.hs:142-233
+    mergeMetadataImpl / mergeReaders): the reference streams two
+    uri-sorted CBOR metadata files into one, dropping the duplicate on
+    EQ so each url keeps ONE metadata record, with A (the left/newer
+    segment, same side that wins the M2 common-URL dedupe) taking
+    precedence. Its sorted-file mechanics (offset sidecars, hTell
+    bookkeeping) are storage details the pages/metadata TABLES replace;
+    what survives is the set semantics: union, one row per url, A wins.
+
+    Plan: union → per-url min-priority window — one shuffle on url, no
+    driver materialization; at scale the window is a partial-agg-
+    friendly dedupe over the natural url partitioning."""
+    from pyspark.sql import Window
+
+    both = meta_a.withColumn("_src", F.lit(0)).unionByName(
+        meta_b.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy("url").orderBy("_src")
+    return (
+        both.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
 def attach_metadata(results: DataFrame, meta: DataFrame) -> DataFrame:
     """Q13: join query results with their page metadata on url
     (QueryProcessor.hs:93-99 — the reference zips each result with its

@@ -231,3 +231,45 @@ def write_warc_distributed(pages: DataFrame, out_dir: str) -> DataFrame:
     ).cache()
     manifest.count()  # run the write job now; the cached manifest is tiny
     return manifest
+
+
+def merge_warc_sorted(
+    pages_a: DataFrame,
+    pages_b: DataFrame,
+    out_dir: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """S8: interleave two pages frames into ONE url-sorted WARC archive
+    (WarcFileWriter.hs:75-127 interleaveWarcFilesSortedImpl): records
+    merge in record-id (url) order; when both sides carry the SAME url
+    the LEFT (A) record is kept and the right dropped (the merge's EQ
+    case, WarcFileWriter.hs:123-125 — same A-wins rule as the segment
+    merge's common-URL dedupe, M2), and the offsets sidecar is rebuilt
+    for the merged output.
+
+    Spark-first: the reference's streaming 2-way merge is a sort —
+    union → A-wins url-dedupe → repartitionByRange(url) +
+    sortWithinPartitions(url) → the per-partition WARC writer. Range
+    partitioning assigns ascending url ranges to ascending partition
+    ids, so concatenating ``part-*.warc`` in filename order yields one
+    globally url-sorted archive, each file with its own u64 offsets
+    sidecar; at 100 TB this is the same single-shuffle plan, just more
+    range partitions."""
+    both = pages_a.withColumn("_src", F.lit(0)).unionByName(
+        pages_b.withColumn("_src", F.lit(1))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("_src")
+    merged = (
+        both.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    n_parts = n_partitions or max(
+        1, pages_a.sparkSession.sparkContext.defaultParallelism // 4
+    )
+    ordered = merged.repartitionByRange(n_parts, "url").sortWithinPartitions(
+        "url"
+    )
+    return write_warc_distributed(ordered, out_dir)

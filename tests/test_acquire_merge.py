@@ -1,0 +1,265 @@
+"""S3 url-list ingest, S6 git ingest, S8 sorted WARC interleave, M11
+metadata merge — the four operators whose reference shapes are I/O
+drivers (fetcher, git subprocess, streaming file merges) re-expressed
+as DataFrame plans with injected edges."""
+
+import os
+import struct
+import subprocess
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_suite_spark.sources import acquire
+
+
+# ---------------------------------------------------------------- S3
+
+
+def _fake_fetcher_factory(record_dir):
+    """Deterministic no-network fetcher: body derived from the url;
+    .fail urls raise; .bin urls return invalid UTF-8. Each call drops a
+    marker file so tests can assert exactly-once fetching and host→
+    partition placement."""
+
+    def fetch(url: str) -> bytes:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        host = url.split("/")[2]
+        safe = url.replace("/", "_").replace(":", "_")
+        with open(os.path.join(record_dir, f"{safe}@{pid}"), "w") as f:
+            f.write("")
+        if url.endswith(".fail"):
+            raise OSError("HTTP 404")
+        if url.endswith(".bin"):
+            return b"\xff\xfe\x00garbage"
+        return f"page body of {url} from {host}".encode()
+
+    return fetch
+
+
+def test_url_list_ingest_report_and_pages(spark, tmp_path):
+    rec = tmp_path / "calls"
+    rec.mkdir()
+    lines = "\n".join(
+        [
+            "  http://a.example/one  ",
+            "",
+            "http://a.example/two.fail",
+            "http://b.example/three",
+            "not a url at all",
+            "http://b.example/four.bin",
+        ]
+    )
+    pages, report = acquire.ingest_url_list(
+        spark, lines, fetcher=_fake_fetcher_factory(str(rec))
+    )
+    assert sorted(report["success"]) == [
+        "http://a.example/one",
+        "http://b.example/three",
+    ]
+    assert sorted(report["failure"]) == [
+        "http://a.example/two.fail",
+        "http://b.example/four.bin",
+        "not a url at all",
+    ]
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {"http://a.example/one", "http://b.example/three"}
+    r = rows["http://a.example/one"]
+    assert r["text"] == "page body of http://a.example/one from a.example"
+    assert zlib.decompress(bytes(r["html"])).decode() == r["text"]
+    assert r["warc_ts"] is not None
+
+    calls = os.listdir(rec)
+    # exactly once per fetchable url (the unparseable line never reaches
+    # the fetcher), even though BOTH pages and report frames were built
+    assert len(calls) == 4
+    assert len({c.split("@")[0] for c in calls}) == 4
+
+
+def test_url_list_host_partition_politeness(spark, tmp_path):
+    rec = tmp_path / "calls"
+    rec.mkdir()
+    urls = [
+        f"http://h{i % 3}.example/p{i}" for i in range(12)
+    ]
+    pages, report = acquire.ingest_url_list(
+        spark, urls, fetcher=_fake_fetcher_factory(str(rec))
+    )
+    assert len(report["success"]) == 12
+    host_parts: dict[str, set[str]] = {}
+    for c in os.listdir(rec):
+        url_part, pid = c.rsplit("@", 1)
+        host = url_part.split("_")[3]
+        host_parts.setdefault(host, set()).add(pid)
+    # politeness: every host's urls fetched within ONE partition
+    assert all(len(p) == 1 for p in host_parts.values()), host_parts
+
+
+def test_url_list_empty(spark):
+    pages, report = acquire.ingest_url_list(spark, "  \n \n")
+    assert pages.count() == 0
+    assert report == {"success": [], "failure": []}
+
+
+# ---------------------------------------------------------------- S6
+
+
+def _make_git_repo(root):
+    os.makedirs(root)
+    env = {
+        **os.environ,
+        "GIT_AUTHOR_NAME": "t",
+        "GIT_AUTHOR_EMAIL": "t@t",
+        "GIT_COMMITTER_NAME": "t",
+        "GIT_COMMITTER_EMAIL": "t@t",
+    }
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", root, *args],
+            check=True,
+            capture_output=True,
+            env=env,
+        )
+
+    git("init", "-q")
+    os.makedirs(os.path.join(root, "src"))
+    with open(os.path.join(root, "README.md"), "w") as f:
+        f.write("readme spark engine docs")
+    with open(os.path.join(root, "src", "main.py"), "w") as f:
+        f.write("print('spark merge join')")
+    with open(os.path.join(root, "logo.bin"), "wb") as f:
+        f.write(b"\xff\xfe\x00\x01binary")
+    git("add", "README.md", "src/main.py", "logo.bin")
+    git("commit", "-qm", "init")
+    # untracked file must NOT be indexed (ls-files semantics)
+    with open(os.path.join(root, "untracked.txt"), "w") as f:
+        f.write("should not appear")
+
+
+def test_git_ingest(spark, tmp_path):
+    repo = str(tmp_path / "repo")
+    _make_git_repo(repo)
+    pages = acquire.pages_from_git(spark, repo)
+    rows = {r["url"]: r["text"] for r in pages.collect()}
+    # tracked utf-8 files in; binary tracked file dropped at strict
+    # decode; untracked file absent
+    assert set(rows) == {
+        f"file://{repo}/README.md",
+        f"file://{repo}/src/main.py",
+    }
+    assert rows[f"file://{repo}/README.md"] == "readme spark engine docs"
+
+
+def test_git_ingest_missing_path(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        acquire.pages_from_git(spark, str(tmp_path / "nope"))
+
+
+def test_git_ingest_to_query(spark, tmp_path):
+    """End-to-end: git checkout → pages → index → BM25 query."""
+    from search_suite_spark.operators.build import build_index
+    from search_suite_spark.operators.query import bm25_scored
+
+    repo = str(tmp_path / "repo")
+    _make_git_repo(repo)
+    idx = build_index(acquire.pages_from_git(spark, repo))
+    hits = bm25_scored(idx, "readme").collect()
+    assert [h["url"] for h in hits] == [f"file://{repo}/README.md"]
+
+
+# ---------------------------------------------------------------- S8
+
+
+def _pages(spark, docs):
+    from search_suite_spark.sources.corpus import pages_from_docs_list
+
+    return pages_from_docs_list(spark, docs)
+
+
+def test_merge_warc_sorted(spark, tmp_path):
+    from search_suite_spark.sources.warc import merge_warc_sorted, parse_warc_bytes
+
+    a = _pages(
+        spark,
+        [
+            ("http://d/3", "a-three"),
+            ("http://d/1", "a-one"),
+            ("http://d/5", "a-five"),
+        ],
+    )
+    b = _pages(
+        spark,
+        [
+            ("http://d/2", "b-two"),
+            ("http://d/3", "b-three-dupe"),
+            ("http://d/4", "b-four"),
+        ],
+    )
+    out = str(tmp_path / "merged")
+    manifest = merge_warc_sorted(a, b, out, n_partitions=2)
+    assert manifest.agg(F.sum("n_records")).collect()[0][0] == 5
+
+    # concatenating part files in name order must yield one globally
+    # url-sorted stream, EQ keeping the A record (WarcFileWriter.hs:123)
+    seen = []
+    for fname in sorted(os.listdir(out)):
+        if not fname.endswith(".warc"):
+            continue
+        with open(os.path.join(out, fname), "rb") as f:
+            data = f.read()
+        offs_path = os.path.join(out, fname + ".offsets")
+        recs = parse_warc_bytes(data)
+        # offsets sidecar points at every record start
+        with open(offs_path, "rb") as f:
+            offs = struct.unpack(f"<{len(recs)}Q", f.read())
+        for o in offs:
+            assert data[o : o + 5] == b"WARC/"
+        for rec in recs:
+            url = rec["headers"]["warc-target-uri"]
+            body = zlib.decompress(rec["body"]).decode()
+            seen.append((url, body))
+    urls = [u for u, _ in seen]
+    assert urls == sorted(urls)
+    assert urls == [f"http://d/{i}" for i in (1, 2, 3, 4, 5)]
+    bodies = dict(seen)
+    assert bodies["http://d/3"] == "a-three"  # A wins the EQ case
+    assert bodies["http://d/2"] == "b-two"
+
+
+def test_merge_warc_sorted_roundtrip(spark, tmp_path):
+    from search_suite_spark.sources.warc import merge_warc_sorted, read_warc
+
+    a = _pages(spark, [(f"http://r/{i:03d}", f"body {i}") for i in range(0, 40, 2)])
+    b = _pages(spark, [(f"http://r/{i:03d}", f"body {i}") for i in range(1, 40, 2)])
+    out = str(tmp_path / "m2")
+    merge_warc_sorted(a, b, out, n_partitions=3)
+    back = read_warc(spark, out)
+    assert back.count() == 40
+    assert back.select("url").distinct().count() == 40
+
+
+# --------------------------------------------------------------- M11
+
+
+def test_merge_metadata_a_wins(spark):
+    from search_suite_spark.functions.html_meta import merge_metadata
+
+    a = spark.createDataFrame(
+        [("u1", "A-title-1", {"k": "a"}), ("u2", "A-title-2", {"k": "a"})],
+        "url string, title string, meta map<string,string>",
+    )
+    b = spark.createDataFrame(
+        [("u2", "B-title-2", {"k": "b"}), ("u3", "B-title-3", {"k": "b"})],
+        "url string, title string, meta map<string,string>",
+    )
+    rows = {
+        r["url"]: r for r in merge_metadata(a, b).collect()
+    }
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u2"]["title"] == "A-title-2"
+    assert rows["u2"]["meta"]["k"] == "a"
+    assert rows["u3"]["title"] == "B-title-3"
