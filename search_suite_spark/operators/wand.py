@@ -195,6 +195,7 @@ class _BlockCache:
 
 def _single_term_topk(
     tl: "_TermList",
+    cache: "_BlockCache",
     idf: float,
     mult: int,
     n_instances: int,
@@ -237,8 +238,14 @@ def _single_term_topk(
         sel = by_ub[s : s + chunk]
         if n_kept >= k and ub[sel[0]] < theta:
             break  # blocks are ub-descending: nothing left can enter
-        _stats_dict()["blocks_decoded"] += int(sel.size)
-        ids, tfs, dls = tl.decode_blocks_full(sel)
+        # decode through the shared cache: a batch kernel scoring many
+        # queries over the same term pays each block's decode once
+        # (ensure() counts only genuinely-missing blocks in the stats)
+        cache.ensure(sel)
+        parts = [cache.blocks[int(b)] for b in sel]
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
         if deleted_ids.size and ids.size:
             dead = np.searchsorted(deleted_ids, ids)
             dead_ok = dead < deleted_ids.size
@@ -290,7 +297,8 @@ def _score_conjunctive(lists, caches, terms_meta, idfs, avgdl, k, deleted_ids):
     if len(order) == 1 and k is not None:
         t = order[0]
         return _single_term_topk(
-            lists[t], idfs[t], terms_meta[t][1],
+            lists[t], caches.setdefault(t, _BlockCache(lists[t])),
+            idfs[t], terms_meta[t][1],
             n_instances, avgdl, k, deleted_ids,
         )
 
