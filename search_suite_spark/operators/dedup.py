@@ -304,8 +304,107 @@ def embedding_neardup_pairs(
     )
 
 
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical form: u < v, no self-loops,
+    distinct."""
+    return (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _star_contraction(edges0: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", Algorithm 2) → (url, cluster = component min).
+
+    Each round rewires edges toward local minima:
+      large-star: per node u with m = min(Γ(u) ∪ {u}), every strictly
+        LARGER neighbor v > u re-attaches as (v, m);
+      small-star: per node u over its smaller neighbors N = {v < u},
+        with m = min(N), every v ∈ N re-attaches as (v, m) and u keeps
+        (u, m).
+    The edge set converges in O(log² n) rounds INDEPENDENT of graph
+    diameter — the scale path for adversarial chain-shaped dup graphs
+    where diameter-round label propagation would need thousands of
+    shuffles. At the fixed point every component is a star on its min
+    node; labels read off as each node's min neighbor. Convergence is
+    detected by an (edge count, xxhash64 sum) signature — one 1-row agg
+    job per round; localCheckpoint truncates lineage per round.
+    """
+    E = _canon(edges0).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star
+        sym = _sym(E)
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = _canon(
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star over edges oriented big→small (E is already u < v)
+        directed = large.select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        )
+        smins = (
+            directed.groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        small = _canon(
+            directed.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionAll(smins.select(F.col("u").alias("a"), "m"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        )
+        E = small.localCheckpoint(eager=True)
+        # per-edge hash folded to < 10^6 so the ANSI-mode sum cannot
+        # overflow a long even at 10^12 edges; a false match needs a
+        # different edge set with identical count AND folded-hash sum
+        # in consecutive rounds of a converging contraction
+        sig = E.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(999983))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not stabilize in {max_rounds} rounds"
+        )
+    # at the fixed point each node's min neighbor IS its component min;
+    # label every ORIGINAL node (roots have no smaller neighbor → self)
+    nodes = _sym(_canon(edges0)).select(F.col("u").alias("url")).distinct()
+    starmap = (
+        _sym(E)
+        .groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("url"), F.least("mn", F.col("u")).alias("c"))
+    )
+    return nodes.join(starmap, "url", "left").select(
+        "url", F.coalesce(F.col("c"), F.col("url")).alias("cluster")
+    )
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, method: str = "auto"
 ) -> DataFrame:
     """Connected components over an undirected (a, b) pair frame →
     (url, cluster), cluster = MIN key reachable from url (lexicographic,
@@ -316,25 +415,29 @@ def connected_components(
     per round, converging in graph-diameter rounds with an exact
     convergence check (count of changed labels — one small driver action
     per round). Near-dup graphs are LSH-bucket near-cliques with
-    diameter 2-4, so the loop is short; for adversarial long-chain
-    graphs the bounded-round alternative is alternating large-star/
-    small-star contraction (Kiveris et al., "Connected Components in
-    MapReduce and Beyond"), which this implementation deliberately
-    trades away for plan simplicity — it raises rather than silently
-    returning unconverged labels. localCheckpoint truncates the plan
-    each round so the lineage does not grow with iterations.
+    diameter 2-4, so the loop is short; when an adversarial long-chain
+    graph fails to converge in ``max_iter`` rounds, ``method="auto"``
+    falls back to the diameter-independent star contraction
+    (_star_contraction) instead of raising. ``method`` forces a path:
+    "label" (raise on non-convergence, the pre-round-4 contract) or
+    "star" (skip label propagation entirely). localCheckpoint truncates
+    the plan each round so the lineage does not grow with iterations.
 
     The reference has no component stage at all (its only dedupe is
     pairwise newest-wins by url, indexer-qp2/src/merge/common_urls.rs);
     this is the step a training-data pipeline needs between pairwise
     near-dup output and "keep one doc per cluster".
     """
+    if method not in ("auto", "label", "star"):
+        raise ValueError(f"unknown method {method!r}")
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if method == "star":
+        return _star_contraction(edges)
     labels = (
         edges.select(F.col("u").alias("url"))
         .distinct()
@@ -366,10 +469,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels.select("url", F.col("label").alias("cluster"))
+    if method == "auto":
+        return _star_contraction(edges)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
-        "the pair graph has pathological diameter — raise max_iter or "
-        "switch to star-contraction"
+        "the pair graph has pathological diameter — use method='auto' "
+        "or 'star' for the diameter-independent star contraction"
     )
 
 
