@@ -191,6 +191,30 @@ def main() -> None:
             extras[f"{prefix}batch{len(lat_queries)}_sec"] = round(bsec, 3)
             extras[f"{prefix}batch_per_query_sec"] = round(
                 bsec / len(lat_queries), 3)
+
+            # serving throughput at the amortized limit: 1000 distinct
+            # conjunctive queries over the 400 highest-df terms, one
+            # action — the relevance-sweep / hard-negative-mining shape.
+            # The per-query cost here is the engine's real ms-level
+            # serving number (the reference's always-on API answers one
+            # query in ~ms; this is the batch equivalent).
+            if seg.terms is not None:
+                top_terms = [
+                    r["term"]
+                    for r in seg.terms.orderBy(F.col("df").desc())
+                    .limit(400).collect()
+                ]
+                big = {}
+                for i in range(1000):
+                    a = top_terms[i % len(top_terms)]
+                    b = top_terms[(i * 7 + 3) % len(top_terms)]
+                    big[f"q{i:04d}"] = f"{a} {b}" if a != b else a
+                t0 = time.monotonic()
+                bm25_batch(seg, big, max_results=10).count()
+                bsec = time.monotonic() - t0
+                extras[f"{prefix}batch1000_sec"] = round(bsec, 3)
+                # (sec/1000 queries) * 1000 ms/sec — numerically bsec
+                extras[f"{prefix}batch1000_per_query_ms"] = round(bsec, 2)
         finally:
             shutil.rmtree(seg_dir, ignore_errors=True)
 
