@@ -82,7 +82,7 @@ def _host_of(url: str) -> str | None:
 
 def fetch_url_list(
     spark: SparkSession,
-    url_lines: str | list[str],
+    url_lines: str | list[str] | DataFrame,
     fetcher: Callable[[str], bytes] = default_fetcher,
     max_concurrency: int = 10,
     ts: str = DEFAULT_TS,
@@ -94,18 +94,36 @@ def fetch_url_list(
     failure reason (unparseable url / fetch error / non-UTF-8 body —
     the reference's three reject paths, Indexation.hs:88-100). The
     result is cached before return so the fetch job runs EXACTLY ONCE
-    however many frames are derived from it (pages + report)."""
-    urls = parse_url_lines(url_lines)
-    if not urls:
-        return spark.createDataFrame(
-            [],
-            "url string, ok boolean, error string, warc_ts timestamp, "
-            "html binary, text string, lang string",
+    however many frames are derived from it (pages + report).
+
+    ``url_lines`` may also be a DataFrame with a ``url`` column — the
+    scale path for table-sized frontiers, where the url list never
+    touches the driver: the host is parsed JVM-side (codegen
+    ``parse_url``) with the same accept rule as the driver-side parse
+    (http/https scheme + non-empty host, lowercased)."""
+    if isinstance(url_lines, DataFrame):
+        # try_parse_url: null (not an ANSI error) on malformed urls
+        host = F.when(
+            F.lower(F.try_parse_url(F.col("url"), F.lit("PROTOCOL"))).isin(
+                "http", "https"
+            )
+            & (F.try_parse_url(F.col("url"), F.lit("HOST")) != ""),
+            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))),
         )
-    rows = [(u, _host_of(u)) for u in urls]
-    src = spark.createDataFrame(rows, "url string, host string")
-    n_hosts = max(1, len({h for _, h in rows if h is not None}))
-    n_parts = min(n_hosts, spark.sparkContext.defaultParallelism)
+        src = url_lines.select("url", host.alias("host"))
+        n_parts = spark.sparkContext.defaultParallelism
+    else:
+        urls = parse_url_lines(url_lines)
+        if not urls:
+            return spark.createDataFrame(
+                [],
+                "url string, ok boolean, error string, warc_ts timestamp, "
+                "html binary, text string, lang string",
+            )
+        rows = [(u, _host_of(u)) for u in urls]
+        src = spark.createDataFrame(rows, "url string, host string")
+        n_hosts = max(1, len({h for _, h in rows if h is not None}))
+        n_parts = min(n_hosts, spark.sparkContext.defaultParallelism)
     # all urls of one host → one partition (politeness: a host is never
     # fetched from two executors at once); hosts spread across partitions
     src = src.repartition(n_parts, "host")

@@ -98,6 +98,34 @@ def test_url_list_host_partition_politeness(spark, tmp_path):
     assert all(len(p) == 1 for p in host_parts.values()), host_parts
 
 
+def test_url_frame_ingest_scale_path(spark, tmp_path):
+    """DataFrame-input fetch (table-sized frontier): JVM-side host parse
+    must apply the same accept rule as the driver-side parse — invalid
+    urls fail without reaching the fetcher, valid ones fetch."""
+    rec = tmp_path / "calls"
+    rec.mkdir()
+    urls_df = spark.createDataFrame(
+        [
+            ("http://a.example/one",),
+            ("ftp://a.example/nope",),
+            ("not a url at all",),
+            ("https://b.example/two",),
+        ],
+        "url string",
+    )
+    fetched = acquire.fetch_url_list(
+        spark, urls_df, fetcher=_fake_fetcher_factory(str(rec))
+    )
+    rows = {r["url"]: r for r in fetched.collect()}
+    assert rows["http://a.example/one"]["ok"]
+    assert rows["https://b.example/two"]["ok"]
+    assert not rows["ftp://a.example/nope"]["ok"]
+    assert not rows["not a url at all"]["ok"]
+    assert rows["not a url at all"]["error"] == "Could not parse url"
+    # only the two http(s) urls reached the fetcher
+    assert len(os.listdir(rec)) == 2
+
+
 def test_url_list_empty(spark):
     pages, report = acquire.ingest_url_list(spark, "  \n \n")
     assert pages.count() == 0
