@@ -419,6 +419,42 @@ def q_bm25_packed_single(spark, sf_dir):
     )
 
 
+# SUB( AND(spark, OR(merge, ~^jo)), window ) — text + nested OR +
+# regex + difference in one tree, the full grammar over the LSM path
+STRUCTURED_PACKED_QUERY = (
+    "-- /\\ spark\n   /\\ \\/ merge\n      \\/ ~ ^jo\n-- window"
+)
+
+
+def q_structured_packed(spark, sf_dir):
+    """Structured boolean query over ONE packed segment (Q11 on the LSM
+    path): per-shard ids-only decode kernel + membership-bit tree fold
+    (plans/structured_packed.py — reference
+    Query/StructuredProcessor.hs:44-71)."""
+    from search_suite_spark.plans.structured_packed import (
+        structured_query_packed,
+    )
+
+    return structured_query_packed(
+        _segment(spark, sf_dir), STRUCTURED_PACKED_QUERY
+    ).select("url")
+
+
+def q_structured_collection(spark, sf_dir):
+    """Structured boolean query across a multi-segment COLLECTION: each
+    leaf evaluates against every segment (union), the tree folds on the
+    collection-wide sets — the reference's
+    POST /structured-query/:collection."""
+    from search_suite_spark.plans.structured_packed import (
+        structured_query_packed,
+    )
+
+    segs = _collection(spark, sf_dir)
+    return structured_query_packed(segs, STRUCTURED_PACKED_QUERY).select(
+        "url"
+    )
+
+
 def q_spelling_levenshtein(spark, sf_dir):
     from search_suite_spark.operators.spelling import spelling_suggestions
 
@@ -809,6 +845,8 @@ SPARK_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "spelling_collection": q_spelling_collection,
+    "structured_packed": q_structured_packed,
+    "structured_collection": q_structured_collection,
 }
 
 
@@ -1094,6 +1132,26 @@ INTERSECT
     "structured_sub": f"""
 WITH {DOC_CTE}
 SELECT url FROM tf WHERE term = 'spark'
+EXCEPT SELECT url FROM tf WHERE term = 'window'
+""".strip(),
+    # SUB( AND(spark, OR(merge, ~^jo)), window ). Every doc lives in
+    # exactly one segment of the parity collection, so the reference's
+    # per-segment-leaf-then-union semantics reduce to the flat sets —
+    # one SQL twin serves both the packed-segment and collection entries.
+    "structured_packed": f"""
+WITH {DOC_CTE}
+(SELECT url FROM tf WHERE term = 'spark'
+ INTERSECT
+ (SELECT url FROM tf WHERE term = 'merge'
+  UNION SELECT DISTINCT url FROM tf WHERE regexp_matches(term, '^jo')))
+EXCEPT SELECT url FROM tf WHERE term = 'window'
+""".strip(),
+    "structured_collection": f"""
+WITH {DOC_CTE}
+(SELECT url FROM tf WHERE term = 'spark'
+ INTERSECT
+ (SELECT url FROM tf WHERE term = 'merge'
+  UNION SELECT DISTINCT url FROM tf WHERE regexp_matches(term, '^jo')))
 EXCEPT SELECT url FROM tf WHERE term = 'window'
 """.strip(),
     "dedupe_newest_wins": """

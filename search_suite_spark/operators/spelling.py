@@ -8,12 +8,25 @@ merging per-segment results as Map term (Map dist (Set suggestions))
 (QueryProcessorTypes.hs:133-138).
 
 A BK-tree is a single-node pruning structure with no DataFrame analogue;
-the Spark-first equivalent is a scan of the (small) term dictionary with
-`levenshtein() <= d`. The BK-tree's triangle-inequality prune is replaced
-by the cheap length-difference prune |len(term) - len(word)| <= d, which
-is a codegen'd Column predicate the scan applies before computing the
-O(len^2) edit distance — at a 100M-term dictionary that removes most of
-the work, and the dictionary scan is embarrassingly parallel.
+the Spark-first equivalent is a scan of the term dictionary with
+`levenshtein() <= d`, pruned in TWO stages:
+
+  1. STORAGE prune: segment dictionaries carry a materialized ``tlen``
+     column and are written clustered by (tlen, term)
+     (segments.write_terms_table / segment_io.write_terms), so the
+     length-band condition compiles to a pushed ``tlen IN (...)``
+     parquet predicate — row groups outside the query words' length
+     band are never read. This is the partition-prunable equivalent of
+     the BK-tree's triangle-inequality range search
+     (bk_tree.rs:128-190): at a 10^9-term dictionary a suggestion
+     query reads only the handful of length clusters within edit
+     distance d, not the whole table.
+  2. COMPUTE prune: the same |len(term) - len(word)| <= d predicate
+     (codegen'd, cheap) guards the O(len^2) levenshtein per surviving
+     (term, word) pair.
+
+Dictionaries without tlen (flat InvertedIndex.terms, pre-tlen segments)
+fall back to stage 2 alone — a full scan, still embarrassingly parallel.
 """
 
 from __future__ import annotations
@@ -41,8 +54,17 @@ def spelling_suggestions(
     words_df = F.broadcast(
         spark.createDataFrame([(w,) for w in words], "word string")
     )
+    src = terms
+    if "tlen" in terms.columns:
+        # storage prune: literal length band pushed into the parquet
+        # scan (row-group stats on the materialized, cluster-sorted
+        # tlen column do the skipping)
+        band = sorted(
+            {len(w) + d for w in words for d in range(-max_dist, max_dist + 1)}
+        )
+        src = terms.filter(F.col("tlen").isin(band))
     return (
-        terms.select(F.col(term_col).alias("suggestion"))
+        src.select(F.col(term_col).alias("suggestion"))
         .join(
             words_df,
             # length-difference prune first (cheap, codegen), then the

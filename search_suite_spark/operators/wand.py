@@ -452,23 +452,23 @@ def _shard_kernel(terms_meta, n_docs, avgdl, k):
     return kernel
 
 
-def _batch_shard_kernel(queries_meta, n_docs, avgdl, k):
+def _batch_shard_kernel(meta_bc, n_docs, avgdl, k):
     """Per-shard kernel scoring MANY conjunctive queries in one pass.
 
-    queries_meta: {qid: {term: (global_df, multiplicity)}}. The shard's
-    posting rows (the union of every query's terms) are grouped into
-    _TermLists ONCE and the block caches are SHARED — a block decoded
-    for one query is free for every other query touching it. Output rows
-    carry the qid; per-query top-k and url resolution happen at the
-    Spark layer.
+    ``meta_bc`` is a Spark BROADCAST of (queries_meta, idfs) —
+    queries_meta: {qid: {term: (global_df, multiplicity)}}. A 100k-query
+    sweep's term metadata is megabytes; captured in the closure it
+    would ship in EVERY task's serialized pickle, broadcast it
+    transfers once per executor (torrent) and the tasks stay bytes-
+    sized. The shard's posting rows (the union of every query's terms)
+    are grouped into _TermLists ONCE and the block caches are SHARED —
+    a block decoded for one query is free for every other query
+    touching it. Output rows carry the qid; per-query top-k and url
+    resolution happen at the Spark layer.
     """
-    idfs = {
-        t: _idf(n_docs, df)
-        for qm in queries_meta.values()
-        for t, (df, _) in qm.items()
-    }
 
     def kernel(pdf: pd.DataFrame, deleted_ids: np.ndarray) -> pd.DataFrame:
+        queries_meta, idfs = meta_bc.value
         lists = _build_lists(pdf)
         _stats_dict()["blocks_total"] += sum(
             tl.block_last.size for tl in lists.values()
@@ -586,8 +586,10 @@ def wand_scored(
             return empty
         terms_meta = {t: (dfs[t], m) for t, m in multiplicity.items()}
     elif dict_strategy == "join" and seg.terms is not None:
+        from search_suite_spark.sources.segments import term_probe_predicate
+
         q_dict = seg.terms.filter(
-            F.col("term").isin(list(multiplicity))
+            term_probe_predicate(seg.terms, list(multiplicity))
         ).select("term", F.col("df").cast("long").alias("df"))
         rows = rows.join(F.broadcast(q_dict), "term")
         terms_meta = {t: (None, m) for t, m in multiplicity.items()}
@@ -724,8 +726,17 @@ def bm25_batch(
     rows = seg.postings.filter(F.col("term").isin(live_terms))
 
     deleted, deletes_df = _route_deletes(seg, deletes_broadcast_max)
+    # idf is a pure function of (n_docs, df): precompute once, ship with
+    # the metadata in ONE broadcast (not the task closure — see
+    # _batch_shard_kernel)
+    idfs = {
+        t: _idf(seg.num_docs, df)
+        for qm in queries_meta.values()
+        for t, (df, _) in qm.items()
+    }
+    meta_bc = spark.sparkContext.broadcast((queries_meta, idfs))
     kernel = _batch_shard_kernel(
-        queries_meta, seg.num_docs, seg.avgdl, max_results
+        meta_bc, seg.num_docs, seg.avgdl, max_results
     )
     if stats is not None:
         acc_dec = stats["blocks_decoded"]

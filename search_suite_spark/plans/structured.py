@@ -153,35 +153,38 @@ def _regex_leaf_patterns(clause: Clause) -> set[str]:
     return set()
 
 
-# the previous tree's persisted regex-match frame, unpersisted when the
-# next tree builds its own — bounds cache growth to one query's slice of
-# the dictionary without requiring callers to manage lifetimes
-_PREV_REGEX_SCAN: list[DataFrame] = []
-
-
 def _batched_regex_terms(
-    index: InvertedIndex, patterns: list[str]
+    index: InvertedIndex,
+    patterns: list[str],
+    owned: list[DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """ONE dictionary scan covering every ClauseRegex pattern in a tree:
     each pattern becomes a literal rlike flag column (compiled once by
     codegen — a column-typed pattern would recompile per row), rows
-    matching any pattern are kept and lazily persisted, and each leaf
-    reads its own flag. The reference spawns one process per leaf
+    matching any pattern are kept, and each leaf reads its own flag.
+    The reference spawns one process per leaf
     (Query/StructuredProcessor.hs:113-118); without batching, a tree
     with R regex leaves embeds R independent dictionary scans in the
     final plan. Matched terms stay distributed (never collected — a
-    broad pattern over a web-scale dictionary matches millions)."""
-    for df in _PREV_REGEX_SCAN:
-        df.unpersist()
-    _PREV_REGEX_SCAN.clear()
+    broad pattern over a web-scale dictionary matches millions).
+
+    ``owned``: when given, the shared matched frame is persisted and
+    appended there — the CALLER owns its lifetime (structured_query
+    materializes the id set eagerly, then unpersists, so the cache
+    lives exactly one evaluation; the previous module-global cache
+    raced between interleaved queries on one session). When None, no
+    persist happens: each leaf re-derives from the same (unpersisted)
+    plan — correct, one scan per leaf, the pre-batching cost."""
     flags = [
         F.col("term").rlike(p).alias(f"_m{i}") for i, p in enumerate(patterns)
     ]
     keep = F.col("_m0")
     for i in range(1, len(patterns)):
         keep = keep | F.col(f"_m{i}")
-    matched = index.terms.select("term", *flags).filter(keep).persist()
-    _PREV_REGEX_SCAN.append(matched)
+    matched = index.terms.select("term", *flags).filter(keep)
+    if owned is not None:
+        matched = matched.persist()
+        owned.append(matched)
     return {
         p: matched.filter(F.col(f"_m{i}")).select("term")
         for i, p in enumerate(patterns)
@@ -193,6 +196,7 @@ def evaluate_structured(
     clause: Clause,
     _present: set[str] | None = None,
     _regex: dict[str, DataFrame] | None = None,
+    _owned: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Clause tree → DataFrame of distinct doc_ids in the result set.
 
@@ -225,7 +229,9 @@ def evaluate_structured(
         # a single regex leaf is already one scan — batch only trees
         # that would otherwise embed several independent scans
         _regex = (
-            _batched_regex_terms(index, patterns) if len(patterns) > 1 else {}
+            _batched_regex_terms(index, patterns, owned=_owned)
+            if len(patterns) > 1
+            else {}
         )
     if isinstance(clause, ClauseText):
         return unscored_ids(index, clause.text, present_terms=_present)
@@ -300,6 +306,21 @@ def evaluate_structured(
 
 def structured_query(index: InvertedIndex, query: str) -> DataFrame:
     """Structured boolean query → (doc_id, url); urls resolved once at
-    the very end, after the id-set algebra collapses."""
-    ids = evaluate_structured(index, parse_structured_query(query))
+    the very end, after the id-set algebra collapses.
+
+    Cache lifetime: a multi-regex tree persists ONE shared dictionary
+    scan for the duration of this call only — the id set is
+    materialized eagerly (localCheckpoint; result-set-sized, the same
+    bound as the reference's in-memory UnscoredResults set) and the
+    scan unpersisted before returning, so interleaved queries on one
+    session never touch each other's caches. Trees with ≤1 regex leaf
+    stay fully lazy."""
+    owned: list[DataFrame] = []
+    ids = evaluate_structured(
+        index, parse_structured_query(query), _owned=owned
+    )
+    if owned:
+        ids = ids.localCheckpoint(eager=True)
+        for df in owned:
+            df.unpersist()
     return ids.join(index.docs.select("doc_id", "url"), "doc_id")

@@ -7,16 +7,23 @@ S3 (`POST /indexUrlLines`, searchapi3/src/Controllers/Indexation.hs:
 bounded concurrency 10, strict-UTF-8 decodes bodies, indexes successes
 and reports {"success": [urls], "failure": [urls]}. Spark-first: the
 url list becomes a DataFrame partitioned BY HOST — every url of a host
-lands in one partition, so per-host fetches are naturally serialized
-(the crawler's per-host politeness frontier by construction,
-crawler-lib/src/Pipeline/TimedFrontier.hs:20-50) while distinct hosts
-fan out across the cluster; inside a partition a bounded thread pool
-(the reference's maxConcurrency=10) overlaps fetches. The fetch
+lands in one partition (a host is never fetched from two executors at
+once), and INSIDE a partition the thread pool parallelizes across
+HOSTS, each host's urls fetched strictly one-at-a-time by its thread —
+end-to-end at-most-one in-flight request per host, the crawler's
+politeness frontier semantics (crawler-lib/src/Pipeline/
+TimedFrontier.hs:20-50; stricter than the reference's indexUrlLines
+endpoint itself, whose bounded-10 pool is host-oblivious,
+Indexation.hs:76-80). Distinct hosts still fan out across threads and
+executors; `max_concurrency` bounds the per-partition pool (the
+reference's maxConcurrency=10). Enforced by
+tests/test_acquire_merge.py's in-flight-per-host probe. The fetch
 function is INJECTED — the sandbox has no network, so tests drive the
-real plumbing (host partitioning, bounded pool, parse/fetch/decode
-reject, status report) with a deterministic fake fetcher, the same
-honest seam as the multimodal decode stub; `default_fetcher` is the
-urllib implementation a networked deployment would use.
+real plumbing (host partitioning, per-host serialization, bounded
+pool, parse/fetch/decode reject, status report) with a deterministic
+fake fetcher, the same honest seam as the multimodal decode stub;
+`default_fetcher` is the urllib implementation a networked deployment
+would use.
 
 S4/S6 (Extensions/GitIndexer.hs:26-56): `git ls-files` enumerates the
 tracked files (driver-side subprocess — catalog-listing-sized, like the
@@ -94,7 +101,11 @@ def fetch_url_list(
     failure reason (unparseable url / fetch error / non-UTF-8 body —
     the reference's three reject paths, Indexation.hs:88-100). The
     result is cached before return so the fetch job runs EXACTLY ONCE
-    however many frames are derived from it (pages + report).
+    however many frames are derived from it (pages + report) — the
+    CALLER owns the cache: unpersist() it once the derived frames are
+    materialized (ingest_url_list does; a long-lived session that
+    ingests repeatedly without releasing it accumulates executor
+    storage).
 
     ``url_lines`` may also be a DataFrame with a ``url`` column — the
     scale path for table-sized frontiers, where the url list never
@@ -131,9 +142,7 @@ def fetch_url_list(
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor
 
-        def one(url: str, host) -> tuple:
-            if host is None or (isinstance(host, float) and pd.isna(host)):
-                return url, False, "Could not parse url", None
+        def one(url: str) -> tuple:
             try:
                 body = fetcher(url)
             except Exception as e:  # fetcher failures are data, not bugs
@@ -144,9 +153,26 @@ def fetch_url_list(
                 return url, False, "Body is not valid UTF-8", None
             return url, True, None, text
 
+        def host_seq(urls: list[str]) -> list[tuple]:
+            # politeness: ONE host's urls fetch strictly sequentially
+            # on one thread — never two in-flight requests to a host
+            return [one(u) for u in urls]
+
         with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
             for pdf in batches:
-                out = list(pool.map(one, pdf["url"], pdf["host"]))
+                out: list[tuple] = []
+                by_host: dict[str, list[str]] = {}
+                for url, host in zip(pdf["url"], pdf["host"]):
+                    if host is None or (
+                        isinstance(host, float) and pd.isna(host)
+                    ):
+                        out.append((url, False, "Could not parse url", None))
+                    else:
+                        by_host.setdefault(host, []).append(url)
+                # the pool fans out across HOSTS; within a host, one
+                # thread walks the url list in order
+                for rows in pool.map(host_seq, by_host.values()):
+                    out.extend(rows)
                 yield pd.DataFrame(
                     out, columns=["url", "ok", "error", "text"]
                 )
@@ -177,17 +203,23 @@ def ingest_url_list(
     """S3 end-to-end shape: (pages frame of the successes, the
     reference's {"success": [urls], "failure": [urls]} report map,
     Indexation.hs:81-84). The report collect is url-list-sized (the
-    urls came from the driver in the first place)."""
+    urls came from the driver in the first place).
+
+    Cache lifecycle: the full fetch frame's cache is RELEASED here —
+    the returned pages frame owns its own (successes-only) cache, which
+    the caller unpersists after indexing it (or lets the session drop)."""
     fetched = fetch_url_list(
         spark, url_lines, fetcher=fetcher,
         max_concurrency=max_concurrency, ts=ts,
     )
     pages = fetched.filter(F.col("ok")).select(
         "url", "warc_ts", "html", "text", "lang"
-    )
+    ).cache()
     report: dict[str, list[str]] = {"success": [], "failure": []}
     for r in fetched.select("url", "ok").collect():
         report["success" if r["ok"] else "failure"].append(r["url"])
+    pages.count()  # materialize from the fetch cache before dropping it
+    fetched.unpersist()
     return pages, report
 
 

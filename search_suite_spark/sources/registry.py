@@ -248,10 +248,13 @@ def collection_term_dfs(
     out: list[dict[str, int]] = [{} for _ in seg_list]
     if not terms or not seg_list:
         return out
+    from search_suite_spark.sources.segments import term_probe_predicate
+
     parts = []
     for i, s in enumerate(seg_list):
         src = (
-            s.terms.filter(F.col("term").isin(terms)).select("term", "df")
+            s.terms.filter(term_probe_predicate(s.terms, terms))
+            .select("term", "df")
             if s.terms is not None
             else s.postings.filter(F.col("term").isin(terms))
             .groupBy("term")

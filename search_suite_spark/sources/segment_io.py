@@ -118,12 +118,16 @@ class ParquetSegmentIO(SegmentIO):
         df.write.mode("append").parquet(os.path.join(seg_dir, "lineage"))
 
     def write_terms(self, df: DataFrame, seg_dir: str) -> None:
-        # parallel write, term-sorted within files (row-group pruning);
-        # no coalesce(1) — a single-task dictionary write is a serial
-        # tail at scale (web vocabularies reach 10^8 terms). The rename
-        # makes dictionary replacement atomic for concurrent readers.
+        # parallel write, (tlen, term)-sorted within files so row-group
+        # min/max stats prune BOTH access paths — spelling's length-band
+        # scan and point lookups (which carry the literal's length, see
+        # segments.term_probe_predicate); no coalesce(1) — a single-task
+        # dictionary write is a serial tail at scale (web vocabularies
+        # reach 10^8 terms). The rename makes dictionary replacement
+        # atomic for concurrent readers.
         tmp = os.path.join(seg_dir, "_terms_tmp")
-        df.sortWithinPartitions("term").write.mode("overwrite").parquet(tmp)
+        sort_cols = (["tlen", "term"] if "tlen" in df.columns else ["term"])
+        df.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(tmp)
         final = os.path.join(seg_dir, "terms")
         if os.path.isdir(final):
             import shutil
@@ -185,7 +189,9 @@ def _footer_row_count(table_dir: str) -> int:
 
 
 class ManifestSegmentIO(SegmentIO):
-    """Manifest-file segment store — the second concrete SegmentIO.
+    """Manifest-file segment store — THE catalog model of this engine
+    (the production Iceberg deployment maps onto it one-to-one, see
+    the mapping table below).
 
     Mimics Iceberg's metadata model on plain files: readers never list
     directories; each table carries a ``manifest.json`` naming its live
@@ -195,6 +201,30 @@ class ManifestSegmentIO(SegmentIO):
     dynamic shard overwrite — the resume contract — is a pure metadata
     swap, and crash-interrupted writes leave orphan dirs that are never
     referenced (exactly Iceberg's uncommitted-snapshot behavior).
+
+    Iceberg mapping (what the production impl substitutes, per
+    ICEBERG_LAYOUT — the sandbox ships no Iceberg runtime jars, so the
+    file-based twin IS the shipped catalog):
+
+      manifest.json atomic swap   → Iceberg metadata.json pointer swap
+                                     (catalog compare-and-set commit)
+      commit-N immutable dirs     → snapshot data/manifest files
+      shards{} per-shard dirs     → identity partition on shard +
+                                     dynamic partition overwrite
+      commits[] append lists      → append snapshots (lineage/deletes)
+      write_terms replace         → REPLACE TABLE snapshot
+      deletes_count footer sum    → snapshot summary total-records
+      orphan commit dirs          → uncommitted snapshots (GC'd by
+                                     maintenance, never read)
+
+    Concurrency contract: commit DIRS are reserved atomically (mkdir —
+    two concurrent writers can never target the same dir), but the
+    manifest load-modify-store itself is last-writer-wins, NOT a
+    compare-and-set: this store assumes ONE writer per segment at a
+    time, which the engine guarantees by construction (a build/merge
+    owns its private tmp_ dir until the registry's atomic rename
+    publishes it; compaction runs serially per collection). A real
+    multi-writer deployment gets CAS from the Iceberg catalog layer.
 
     Physical layout intent matches ICEBERG_LAYOUT: postings/docs written
     per shard (one commit dir per write, hive-split by a duplicated
@@ -228,12 +258,20 @@ class ManifestSegmentIO(SegmentIO):
         os.replace(tmp, path)  # atomic manifest swap = the commit point
 
     def _next_commit(self, seg_dir: str, table: str) -> str:
+        """RESERVE the next commit dir atomically: mkdir either creates
+        it exclusively or raises FileExistsError (retry with the next
+        index) — two concurrent writers can race the manifest (see the
+        class contract) but can never clobber each other's data dirs."""
         tdir = os.path.join(seg_dir, table)
-        existing = set(os.listdir(tdir)) if os.path.isdir(tdir) else set()
-        i = 0
-        while f"commit-{i:06d}" in existing:
-            i += 1
-        return f"commit-{i:06d}"
+        os.makedirs(tdir, exist_ok=True)
+        i = len([n for n in os.listdir(tdir) if n.startswith("commit-")])
+        while True:
+            name = f"commit-{i:06d}"
+            try:
+                os.mkdir(os.path.join(tdir, name))
+                return name
+            except FileExistsError:
+                i += 1
 
     def _live_paths(self, seg_dir: str, table: str) -> list[str]:
         mf = self._load(seg_dir, table)
@@ -307,7 +345,8 @@ class ManifestSegmentIO(SegmentIO):
     def write_terms(self, df: DataFrame, seg_dir: str) -> None:
         # replace = write new dirs, point the manifest at ONLY them
         commit = self._next_commit(seg_dir, "terms")
-        df.sortWithinPartitions("term").write.mode("overwrite").parquet(
+        sort_cols = (["tlen", "term"] if "tlen" in df.columns else ["term"])
+        df.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(
             os.path.join(seg_dir, "terms", commit)
         )
         self._store(seg_dir, "terms", {"commits": [commit]})
@@ -324,10 +363,11 @@ class ManifestSegmentIO(SegmentIO):
         )
 
     def read_docs(self, spark: SparkSession, seg_dir: str) -> DataFrame:
-        return self._read(
-            spark, seg_dir, "docs",
-            empty_schema="doc_id long, doc_len int, shard int, url string",
-        )
+        # no empty-frame fallback: a docs table with no manifest is a
+        # broken/unbuilt segment and must raise, matching the parquet
+        # backend's contract (a silent empty frame would also have to
+        # guess the schema — warc_ts is optional per build)
+        return self._read(spark, seg_dir, "docs")
 
     def read_lineage(self, spark: SparkSession, seg_dir: str) -> DataFrame:
         return self._read(spark, seg_dir, "lineage")
@@ -357,51 +397,6 @@ class ManifestSegmentIO(SegmentIO):
         for p in self._live_paths(seg_dir, "deletes"):
             n += _footer_row_count(p) if os.path.isdir(p) else 0
         return n
-
-
-class IcebergSegmentIO(SegmentIO):
-    """Production catalog impl — requires Iceberg runtime jars, which
-    this sandbox does not ship. Methods raise with the DDL the impl must
-    execute; ICEBERG_LAYOUT is the binding layout contract."""
-
-    def __init__(self, catalog: str = "spark_catalog"):
-        self.catalog = catalog
-
-    def _unavailable(self, table: str):
-        raise NotImplementedError(
-            "Iceberg runtime jars are not available in this environment; "
-            f"production layout for {table!r}: {ICEBERG_LAYOUT[table]}"
-        )
-
-    def write_postings(self, df, seg_dir, mode):
-        self._unavailable("postings")
-
-    def write_docs(self, df, seg_dir, mode):
-        self._unavailable("docs")
-
-    def append_lineage(self, df, seg_dir):
-        self._unavailable("lineage")
-
-    def write_terms(self, df, seg_dir):
-        self._unavailable("terms")
-
-    def append_deletes(self, df, seg_dir):
-        self._unavailable("deletes")
-
-    def read_postings(self, spark, seg_dir):
-        self._unavailable("postings")
-
-    def read_docs(self, spark, seg_dir):
-        self._unavailable("docs")
-
-    def read_lineage(self, spark, seg_dir):
-        self._unavailable("lineage")
-
-    def read_terms(self, spark, seg_dir):
-        self._unavailable("terms")
-
-    def read_deletes(self, spark, seg_dir):
-        self._unavailable("deletes")
 
 
 DEFAULT_IO: SegmentIO = ParquetSegmentIO()

@@ -337,7 +337,7 @@ class Segment:
         small terms table when present; falls back to a 2-column
         (term, n) scan of the packed postings."""
         if self.terms is not None:
-            src = self.terms.filter(F.col("term").isin(terms))
+            src = self.terms.filter(term_probe_predicate(self.terms, terms))
             return {r["term"]: int(r["df"]) for r in src.collect()}
         rows = (
             self.postings.filter(F.col("term").isin(terms))
@@ -346,6 +346,20 @@ class Segment:
             .collect()
         )
         return {r["term"]: int(r["df"]) for r in rows}
+
+
+def term_probe_predicate(terms_df: DataFrame, words: list[str]):
+    """Pushable dictionary point-lookup predicate: term ∈ words, AND —
+    when the table carries the materialized tlen column — tlen ∈ their
+    lengths. The dictionary is written clustered by (tlen, term), so
+    the tlen conjunct prunes the probe back to ~one row group per
+    distinct length (the in-file term sort alone would leave one
+    candidate group per length cluster). Older segments without tlen
+    fall back to the bare isin."""
+    pred = F.col("term").isin(list(words))
+    if words and "tlen" in terms_df.columns:
+        pred = F.col("tlen").isin(sorted({len(w) for w in words})) & pred
+    return pred
 
 
 def shard_of_doc_id(n_shards: int):
@@ -563,7 +577,17 @@ def write_terms_table(
     io = io or current_io()
     if postings is None:
         postings = io.read_postings(spark, seg_dir)
-    terms = postings.groupBy("term").agg(F.sum("n").alias("df"))
+    # tlen is MATERIALIZED (not derived at read time) so it lands in
+    # parquet column statistics: the spelling scan's |len(term) - len(w)|
+    # ≤ d prune and the point lookup's tlen = len(w) both become
+    # row-group-skipping pushed predicates instead of post-scan filters
+    # — the partition-prunable analogue of the reference BK-tree's
+    # metric prune (indexer-qp2/src/bk_tree.rs:128-190). The write is
+    # clustered by (tlen, term), and every probe carries the literal
+    # term's length, so point lookups still touch ~one row group.
+    terms = postings.groupBy("term").agg(F.sum("n").alias("df")).select(
+        "term", "df", F.length("term").alias("tlen")
+    )
     io.write_terms(terms, seg_dir)
 
 

@@ -98,6 +98,51 @@ def test_url_list_host_partition_politeness(spark, tmp_path):
     assert all(len(p) == 1 for p in host_parts.values()), host_parts
 
 
+def test_url_list_at_most_one_inflight_per_host(spark, tmp_path):
+    """The politeness contract the module docstring states: AT MOST ONE
+    in-flight request per host, end to end (host→one partition, and
+    within the partition the pool fans out across hosts while each
+    host's urls fetch sequentially on one thread). A violating fetcher
+    overlap drops a marker file; none may exist. Cross-host overlap is
+    still expected (the pool must not degrade to fully serial)."""
+    rec = tmp_path / "viol"
+    rec.mkdir()
+    rec_s = str(rec)
+
+    def fetch(url: str) -> bytes:
+        # fcntl flock = cross-thread AND cross-process mutual exclusion
+        # (the closure must stay picklable — no threading.Lock): a
+        # second in-flight fetch to the same host fails the non-blocking
+        # acquire and drops a violation marker
+        import fcntl
+        import time
+
+        host = url.split("/")[2]
+        fd = os.open(
+            os.path.join(rec_s, f"lock_{host}"), os.O_CREAT | os.O_RDWR
+        )
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                with open(os.path.join(rec_s, f"host_{host}"), "w") as f:
+                    f.write("overlap")
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            time.sleep(0.05)  # widen the overlap window
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+        return f"body {url}".encode()
+
+    urls = [f"http://h{i % 3}.example/p{i}" for i in range(12)]
+    # local[*] may split the 3 hosts across partitions; per-host overlap
+    # must not happen either way
+    pages, report = acquire.ingest_url_list(spark, urls, fetcher=fetch)
+    assert len(report["success"]) == 12
+    viols = [v for v in os.listdir(rec_s) if v.startswith("host_")]
+    assert viols == [], viols
+
+
 def test_url_frame_ingest_scale_path(spark, tmp_path):
     """DataFrame-input fetch (table-sized frontier): JVM-side host parse
     must apply the same accept rule as the driver-side parse — invalid

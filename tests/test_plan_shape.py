@@ -96,3 +96,43 @@ def test_flat_query_broadcasts_dictionary(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
         plan
     )
+
+
+def test_spelling_scan_pushes_length_predicate(spark, tmp_path):
+    """Q14 at dictionary scale: the segment terms table materializes
+    tlen and is written (tlen, term)-clustered, so the spelling length
+    band AND dictionary point lookups compile to PUSHED parquet
+    predicates (the partition-prunable analogue of the reference
+    BK-tree's range search, indexer-qp2/src/bk_tree.rs:128-190)."""
+    from search_suite_spark.operators.spelling import spelling_suggestions
+    from search_suite_spark.sources.corpus import pages_from_docs_list
+    from search_suite_spark.sources.segments import (
+        build_segment,
+        term_probe_predicate,
+    )
+
+    docs = [(f"http://p{i}", f"alpha beta gamma w{i}") for i in range(30)]
+    seg = build_segment(
+        pages_from_docs_list(spark, docs), str(tmp_path / "seg"), n_shards=2
+    )
+    assert "tlen" in seg.terms.columns
+
+    sugg = spelling_suggestions(seg.terms, "alpa beta")
+    plan = _plan(sugg)
+    # the length band reaches the parquet reader
+    assert re.search(r"PushedFilters:.*[Ii]n\(tlen", plan), plan
+
+    # point lookups carry the literal's length too (a single-element
+    # isin plans as EqualTo — equally pushable)
+    probe = seg.terms.filter(term_probe_predicate(seg.terms, ["alpha"]))
+    plan2 = _plan(probe)
+    assert re.search(
+        r"PushedFilters:.*(EqualTo|[Ii]n)\(tlen", plan2
+    ), plan2
+    assert re.search(
+        r"PushedFilters:.*(EqualTo|[Ii]n)\(term", plan2
+    ), plan2
+
+    # and results stay correct: 'alpa' ~ 'alpha' at dist 1
+    got = {(r["word"], r["dist"], r["suggestion"]) for r in sugg.collect()}
+    assert ("alpa", 1, "alpha") in got and ("beta", 0, "beta") in got

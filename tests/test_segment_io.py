@@ -10,7 +10,7 @@ from search_suite_spark.sources.corpus import pages_from_docs_list
 from search_suite_spark.sources.segment_io import (
     DEFAULT_IO,
     ICEBERG_LAYOUT,
-    IcebergSegmentIO,
+    ManifestSegmentIO,
     ParquetSegmentIO,
     SegmentIO,
 )
@@ -62,11 +62,28 @@ def test_iceberg_layout_contract_pins_term_bucketing():
     assert "append-only" in ICEBERG_LAYOUT["lineage"]
 
 
-def test_iceberg_impl_raises_with_layout(spark):
-    io = IcebergSegmentIO()
+def test_manifest_commit_dirs_reserved_atomically(tmp_path):
+    """Two writers asking for a commit dir must never receive the same
+    one (mkdir reservation): the dir exists the moment the name is
+    handed out, so the next caller skips past it."""
+    io = ManifestSegmentIO()
     assert isinstance(io, SegmentIO)
-    with pytest.raises(NotImplementedError, match=r"bucket\(64, term\)"):
-        io.read_postings(spark, "/nonexistent")
+    a = io._next_commit(str(tmp_path), "lineage")
+    b = io._next_commit(str(tmp_path), "lineage")
+    assert a != b
+    import os
+
+    assert os.path.isdir(tmp_path / "lineage" / a)
+    assert os.path.isdir(tmp_path / "lineage" / b)
+
+
+def test_manifest_read_docs_raises_without_manifest(spark, tmp_path):
+    """A docs table with no manifest is a broken/unbuilt segment: the
+    manifest backend must raise like the parquet backend, never hand
+    back a silently-empty, schema-guessed frame."""
+    io = ManifestSegmentIO()
+    with pytest.raises(FileNotFoundError):
+        io.read_docs(spark, str(tmp_path / "nonexistent_seg"))
 
 
 # ---------------------------------------------------------------------------
