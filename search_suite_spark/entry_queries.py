@@ -455,6 +455,22 @@ def q_structured_collection(spark, sf_dir):
     )
 
 
+def q_bm25_partial_packed(spark, sf_dir):
+    """Packed-path partial match (min_should_match=2 of 3 terms):
+    disjunctive candidate union + θ-pruned block-max scoring
+    (wand.wand_partial) — value-identical to the flat bm25_partial."""
+    from search_suite_spark.operators.wand import wand_partial
+
+    out = wand_partial(
+        _segment(spark, sf_dir), "spark merge window", min_should_match=2
+    )
+    return out.select(
+        "url",
+        F.round("score", 6).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
 def q_spelling_levenshtein(spark, sf_dir):
     from search_suite_spark.operators.spelling import spelling_suggestions
 
@@ -847,6 +863,7 @@ SPARK_QUERIES = {
     "spelling_collection": q_spelling_collection,
     "structured_packed": q_structured_packed,
     "structured_collection": q_structured_collection,
+    "bm25_partial_packed": q_bm25_partial_packed,
 }
 
 
@@ -1336,6 +1353,27 @@ FROM ({bm25_sql(["spark"])}) r
 LEFT JOIN meta m ON r.url = m.url
 """.strip(),
     "bm25_partial_match": f"""
+WITH {DOC_CTE},
+scored AS (
+  SELECT t.url,
+         sum( ln((stats.num_docs - dict.df + 0.5) / (dict.df + 0.5))
+              * (t.tf * 2.2)
+              / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.doc_len::DOUBLE / stats.avgdl::DOUBLE)))
+            ) AS exact_score,
+         CAST(count(*) AS BIGINT) AS n_matched
+  FROM tf t
+  JOIN dict USING (term)
+  JOIN dl USING (url)
+  CROSS JOIN stats
+  WHERE t.term IN ('spark', 'merge', 'window')
+  GROUP BY t.url
+  HAVING count(*) >= 2
+)
+SELECT url, round(exact_score, 6) AS score, n_matched FROM scored
+""".strip(),
+    # the packed path computes the SAME result (flat vs packed is a
+    # storage choice, not a semantics one) — one SQL twin for both
+    "bm25_partial_packed": f"""
 WITH {DOC_CTE},
 scored AS (
   SELECT t.url,

@@ -394,6 +394,109 @@ def _score_conjunctive(lists, caches, terms_meta, idfs, avgdl, k, deleted_ids):
     )
 
 
+PARTIAL_RESULT_SCHEMA = "doc_id long, score double, n_matched int"
+
+
+def _score_partial(
+    lists, caches, terms_meta, idfs, avgdl, k, min_match, deleted_ids
+):
+    """Disjunctive (min-should-match) scoring of ONE query against a
+    shard's term lists — the packed twin of query.bm25_partial (the
+    reference's own TODO, query.rs:192-193).
+
+    Candidate generation must union EVERY present term's ids (a doc
+    matching any ``min_match`` subset qualifies), so the ids decode is
+    full per term — the disjunctive floor. Scoring stays block-max
+    pruned: per-candidate upper bounds sum only the terms that HIT the
+    candidate, exact scoring runs in upper-bound order and stops at θ
+    like the conjunctive kernel, so tf/dl blocks of hopeless candidates
+    never decode."""
+    present = [t for t in terms_meta if t in lists]
+    if not present:
+        return _empty_result().rename(columns={"term_count": "n_matched"})
+    ids_per_term = {t: lists[t].decode_all_ids() for t in present}
+    cand = np.unique(np.concatenate([ids_per_term[t] for t in present]))
+    hits: dict[str, np.ndarray] = {}
+    n_matched = np.zeros(cand.size, dtype=np.int32)
+    for t in present:
+        ids = ids_per_term[t]
+        pos = np.searchsorted(ids, cand)
+        ok = pos < ids.size
+        hit = np.zeros(cand.size, dtype=bool)
+        hit[ok] = ids[pos[ok]] == cand[ok]
+        hits[t] = hit
+        n_matched += hit
+    keep = n_matched >= min_match
+    if deleted_ids.size:
+        dead = np.searchsorted(deleted_ids, cand)
+        dead_ok = dead < deleted_ids.size
+        is_dead = np.zeros(cand.size, dtype=bool)
+        is_dead[dead_ok] = deleted_ids[dead[dead_ok]] == cand[dead_ok]
+        keep &= ~is_dead
+    if not keep.any():
+        return _empty_result().rename(columns={"term_count": "n_matched"})
+    cand, n_matched = cand[keep], n_matched[keep]
+    for t in present:
+        hits[t] = hits[t][keep]
+        caches.setdefault(t, _BlockCache(lists[t]))
+
+    ub = np.zeros(cand.size, dtype=np.float64)
+    for t in present:
+        h = hits[t]
+        if not h.any():
+            continue
+        blk = caches[t].block_of(cand[h])
+        mult = terms_meta[t][1]
+        if idfs[t] >= 0:
+            btf = lists[t].meta("block_max_tf")[blk]
+            bdl = lists[t].meta("block_min_dl")[blk]
+        else:
+            btf = lists[t].meta("block_min_tf")[blk]
+            bdl = lists[t].meta("block_max_dl")[blk]
+        ub[h] += mult * idfs[t] * impact_bound(btf, bdl, avgdl)
+
+    by_ub = np.argsort(-ub, kind="stable")
+    chunk = max(1024, 0 if k is None else 4 * k)
+    kept_ids, kept_scores, kept_nm = [], [], []
+    theta = -np.inf
+    n_scored = 0
+    for s in range(0, by_ub.size, chunk):
+        sel = by_ub[s : s + chunk]
+        if k is not None and n_scored >= k and ub[sel[0]] < theta:
+            break
+        score = np.zeros(sel.size, dtype=np.float64)
+        for t in present:
+            h = hits[t][sel]
+            if not h.any():
+                continue
+            tf, dl = caches[t].lookup(cand[sel][h])
+            score[h] += terms_meta[t][1] * idfs[t] * impact(tf, dl, avgdl)
+        kept_ids.append(cand[sel])
+        kept_scores.append(score)
+        kept_nm.append(n_matched[sel])
+        n_scored += sel.size
+        if k is not None and n_scored >= k:
+            all_scores = np.concatenate(kept_scores)
+            theta = np.partition(all_scores, all_scores.size - k)[
+                all_scores.size - k
+            ]
+    out_ids = np.concatenate(kept_ids)
+    out_scores = np.concatenate(kept_scores)
+    out_nm = np.concatenate(kept_nm)
+    if k is not None and out_ids.size > k:
+        keep2 = out_scores >= theta
+        out_ids, out_scores, out_nm = (
+            out_ids[keep2], out_scores[keep2], out_nm[keep2],
+        )
+    return pd.DataFrame(
+        {
+            "doc_id": out_ids.view(np.int64),
+            "score": out_scores,
+            "n_matched": out_nm.astype(np.int32),
+        }
+    )
+
+
 def _build_lists(pdf: pd.DataFrame) -> dict:
     """Group a shard's posting rows into _TermLists (vectorized row
     grouping: to_dict('records') hands each row to _TermList as a plain
@@ -660,6 +763,95 @@ def wand_scored(
         out = out.orderBy(F.col("score").desc(), F.col("url")).limit(max_results)
     return (
         out.select("url", "score", "term_count")
+        .orderBy(F.col("score").desc(), F.col("url"))
+    )
+
+
+def wand_partial(
+    seg: Segment,
+    query: str,
+    min_should_match: int = 1,
+    max_results: int | None = None,
+    deletes_broadcast_max: int = DELETES_BROADCAST_MAX,
+    term_dfs: dict[str, int] | None = None,
+) -> DataFrame:
+    """Scored partial-match query over a packed segment → (url, score,
+    n_matched), rank-identical to the flat bm25_partial (tests enforce
+    it). A doc qualifies when ≥ ``min_should_match`` DISTINCT query
+    terms match; the score sums every matched instance. Terms absent
+    from the dictionary simply don't match (no conjunctive fast abort —
+    disjunctive semantics). Same shard scatter/gather + deletes routing
+    as wand_scored; candidate generation is the full union of present
+    terms' id lists (the disjunctive floor), exact scoring stays
+    θ-pruned in upper-bound order."""
+    spark = seg.postings.sparkSession
+    q_terms = normalise(query)
+    empty = spark.createDataFrame(
+        [], "url string, score double, n_matched int"
+    )
+    if not q_terms:
+        return empty
+    multiplicity = Counter(q_terms)
+    dfs = (
+        {t: term_dfs[t] for t in multiplicity if t in term_dfs}
+        if term_dfs is not None
+        else seg.term_dfs(list(multiplicity))
+    )
+    terms_meta = {
+        t: (dfs[t], m) for t, m in multiplicity.items() if t in dfs
+    }
+    if not terms_meta:
+        return empty
+    idfs = {t: _idf(seg.num_docs, df) for t, (df, _) in terms_meta.items()}
+    rows = seg.postings.filter(F.col("term").isin(list(terms_meta)))
+    deleted, deletes_df = _route_deletes(seg, deletes_broadcast_max)
+    avgdl, k, mm = seg.avgdl, max_results, min_should_match
+
+    def kernel(pdf: pd.DataFrame, deleted_ids: np.ndarray) -> pd.DataFrame:
+        lists = _build_lists(pdf)
+        _stats_dict()["blocks_total"] += sum(
+            tl.block_last.size for tl in lists.values()
+        )
+        return _score_partial(
+            lists, {}, terms_meta, idfs, avgdl, k, mm, deleted_ids
+        )
+
+    if deletes_df is None:
+        cands = rows.groupBy("shard").applyInPandas(
+            lambda pdf: kernel(pdf, deleted), PARTIAL_RESULT_SCHEMA
+        )
+    else:
+        from search_suite_spark.sources.segments import shard_of_doc_id
+
+        if seg.n_shards <= 0:
+            raise ValueError(
+                "cogrouped deletes need Segment.n_shards > 0 "
+                f"(got {seg.n_shards}); read the segment via read_segment "
+                "or raise deletes_broadcast_max"
+            )
+        del_sharded = deletes_df.withColumn(
+            "shard", shard_of_doc_id(seg.n_shards)
+        )
+
+        def cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            dead = np.sort(
+                right["doc_id"].to_numpy(dtype=np.int64).view(np.uint64)
+            )
+            return kernel(left, dead)
+
+        cands = (
+            rows.groupBy("shard")
+            .cogroup(del_sharded.groupBy("shard"))
+            .applyInPandas(cg, PARTIAL_RESULT_SCHEMA)
+        )
+
+    out = cands.join(seg.docs.select("doc_id", "url"), "doc_id")
+    if max_results is not None:
+        out = out.orderBy(
+            F.col("score").desc(), F.col("url")
+        ).limit(max_results)
+    return (
+        out.select("url", "score", "n_matched")
         .orderBy(F.col("score").desc(), F.col("url"))
     )
 
