@@ -306,6 +306,27 @@ def main() -> None:
     timed("structured_and_or", lambda: structured_query(
         idx, "/\\ spark\n/\\ \\/ merge\n   \\/ join").count())
 
+    # spelling access paths over the same dictionary: the levenshtein
+    # scan (tlen-pruned) vs the SymSpell deletion-neighborhood probe.
+    # The index is a build-once artifact (spell_index_build, amortized
+    # across every later suggestion), after which a probe touches only
+    # the query's variant neighborhood — never the dictionary.
+    from search_suite_spark.operators.spelling import (
+        spelling_suggestions,
+        spelling_suggestions_indexed,
+        term_deletion_index,
+    )
+
+    extras["spelling_dict_terms"] = idx.terms.count()
+    timed("spelling_scan", lambda: spelling_suggestions(
+        idx.terms, "spark merg shufle").count())
+    spell_di = term_deletion_index(idx.terms, max_dist=1).persist()
+    timed("spell_index_build", lambda: spell_di.count())
+    extras["spell_index_rows"] = spell_di.count()
+    timed("spelling_probe", lambda: spelling_suggestions_indexed(
+        spell_di, "spark merg shufle").count())
+    spell_di.unpersist()
+
     # transfer-proportionality evidence (north_rule): an adversarial
     # skew corpus — one term in EVERY doc, per-shard posting lists
     # far above codec.MAX_ROW_POSTINGS so the giant-list split fires

@@ -480,6 +480,24 @@ def q_spelling_levenshtein(spark, sf_dir):
     )
 
 
+def q_spelling_symspell(spark, sf_dir):
+    """Q14 via the SymSpell deletion-neighborhood index: build the
+    (variant, term) index over the same dictionary, probe it with the
+    query words' deletion variants, verify with exact levenshtein. The
+    oracle is IDENTICAL to spelling_levenshtein's — the indexed path
+    must surface exactly the scan's suggestion set."""
+    from search_suite_spark.operators.spelling import (
+        spelling_suggestions_indexed,
+        term_deletion_index,
+    )
+
+    idx = _index(spark, sf_dir)
+    di = term_deletion_index(idx.terms, max_dist=1)
+    return spelling_suggestions_indexed(di, "spark merg", max_dist=1).select(
+        "word", F.col("dist").cast("int").alias("dist"), "suggestion"
+    )
+
+
 _HTML_TMPL = (
     '<html><head><title>Doc %s</title><meta name="lang" content="%s">'
     '<meta content="%s" name="source"></head><body>%s</body></html>'
@@ -843,6 +861,7 @@ SPARK_QUERIES = {
     "bm25_packed_single": q_bm25_packed_single,
     "bm25_batch": q_bm25_batch,
     "spelling_levenshtein": q_spelling_levenshtein,
+    "spelling_symspell": q_spelling_symspell,
     "html_metadata": q_html_metadata,
     "url_ingest": q_url_ingest,
     "metadata_merge": q_metadata_merge,
@@ -1212,6 +1231,15 @@ FROM pages GROUP BY md5(text)
     "bm25_packed_single": bm25_sql(["the"], limit=10),
     "bm25_batch": bm25_batch_sql(BATCH_QUERIES, limit=10),
     "spelling_levenshtein": f"""
+WITH {DOC_CTE},
+words(word) AS (VALUES ('spark'), ('merg'))
+SELECT word, CAST(levenshtein(term, word) AS INT) AS dist, term AS suggestion
+FROM dict, words
+WHERE abs(length(term) - length(word)) <= 1 AND levenshtein(term, word) <= 1
+""".strip(),
+    # same oracle on purpose: the SymSpell index must find EXACTLY the
+    # suggestion set the levenshtein scan finds
+    "spelling_symspell": f"""
 WITH {DOC_CTE},
 words(word) AS (VALUES ('spark'), ('merg'))
 SELECT word, CAST(levenshtein(term, word) AS INT) AS dist, term AS suggestion

@@ -115,6 +115,115 @@ def spelling_collection(
     return acc.distinct()
 
 
+# -- SymSpell-style deletion-neighborhood index -------------------------------
+#
+# The tlen prune above still READS every length-band row group. For a
+# serving-shaped deployment (10^9-term dictionary, high suggestion QPS)
+# the reference's BK-tree answers a range query by visiting a small
+# neighborhood of nodes (bk_tree.rs:128-190). The Spark-native structure
+# with the same access pattern is a precomputed DELETION-NEIGHBORHOOD
+# index (the SymSpell scheme, public domain): one (variant, term) row
+# for every string reachable from a dictionary term by deleting up to
+# max_dist characters. Candidate lookup is then a `variant IN (...)`
+# point probe (pushed to parquet row groups when the index is written
+# variant-clustered) + broadcast join — cost scales with the QUERY's
+# deletion neighborhood (~len^d variants/word), never the dictionary.
+# Completeness: lev(w, t) <= d  ⟹  w and t share a variant with each
+# side deleting <= d chars (each of the <= d edit ops costs at most one
+# deletion per side: substitution one on both, insertion/deletion one on
+# one); the deletion match overshoots lev (e.g. "ab"/"ba" share "a" at
+# d=1 but lev=2), so survivors re-verify with the exact levenshtein.
+
+
+def term_deletion_index(
+    terms: DataFrame, max_dist: int = 1, term_col: str = "term"
+) -> DataFrame:
+    """(variant, term) deletion-neighborhood rows for a term dictionary,
+    the term itself included (depth 0). Generation is pure column work
+    (explode over a position sequence + substring splice — JVM codegen,
+    no Python): ~(len+1) rows per term at max_dist=1, built once per
+    segment alongside the dictionary and reusable until the next merge.
+
+    Write it ``sortWithinPartitions("variant")`` (or bucketed by
+    variant) so probe predicates skip row groups — the storage-level
+    analogue of descending only matching BK-tree edges."""
+    src = terms.select(F.col(term_col).alias("term")).where(
+        F.col("term").isNotNull()
+    )
+    level = src.select("term", F.col("term").alias("variant"))
+    out = level
+    for _ in range(max_dist):
+        # delete the i-th character of every current variant; a 1-char
+        # variant legitimately yields "" (lev("a","b")=1 is discovered
+        # ONLY via the shared empty variant). Guard length > 0 before
+        # the explode: sequence(1, 0) would count DOWN, not empty.
+        level = (
+            level.filter(F.length("variant") > 0)
+            .select(
+                "term",
+                F.expr("explode(sequence(1, length(variant)))").alias("i"),
+                "variant",
+            )
+            .select(
+                "term",
+                F.concat(
+                    F.expr("substring(variant, 1, i - 1)"),
+                    F.expr("substring(variant, i + 1, length(variant))"),
+                ).alias("variant"),
+            )
+            .distinct()
+        )
+        out = out.unionByName(level)
+    return out.distinct()
+
+
+def _deletion_variants(word: str, max_dist: int) -> set[str]:
+    """Driver-side twin of term_deletion_index for (tiny) query words."""
+    out = {word}
+    frontier = {word}
+    for _ in range(max_dist):
+        frontier = {
+            v[:i] + v[i + 1 :] for v in frontier for i in range(len(v))
+        } - out
+        out |= frontier
+    return out
+
+
+def spelling_suggestions_indexed(
+    index: DataFrame, query: str, max_dist: int = 1
+) -> DataFrame:
+    """(word, dist, suggestion) via a term_deletion_index frame —
+    row-identical to spelling_suggestions over the same dictionary
+    (tests/test_spelling_symspell.py proves the identity), but the
+    dictionary is never scanned: the probe is a pushed
+    ``variant IN (...)`` lookup + broadcast join + exact-levenshtein
+    verify over the surviving candidates."""
+    spark = index.sparkSession
+    words = sorted(set(normalise(query)))
+    if not words:
+        return spark.createDataFrame(
+            [], "word string, dist int, suggestion string"
+        )
+    probe_rows = sorted(
+        {(v, w) for w in words for v in _deletion_variants(w, max_dist)}
+    )
+    probe = F.broadcast(
+        spark.createDataFrame(probe_rows, "variant string, word string")
+    )
+    variants = sorted({v for v, _ in probe_rows})
+    cand = (
+        index.filter(F.col("variant").isin(variants))
+        .join(probe, "variant")
+        .select("word", F.col("term").alias("suggestion"))
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("suggestion", "word") <= max_dist).select(
+        "word",
+        F.levenshtein("suggestion", "word").alias("dist"),
+        "suggestion",
+    )
+
+
 def suggestion_map(rows) -> dict[str, dict[int, set[str]]]:
     """Collect suggestion rows into the reference's response shape
     Map word (Map dist (Set suggestions)) (QueryProcessorTypes.hs:124-126)."""
