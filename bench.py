@@ -31,6 +31,13 @@ Headline set (1x):
   ann_cosine     brute-force cosine top-k over embeddings
   text_scan      lang-id + quality scoring full scan
 
+Host calibration (calib_* keys): three fixed probes — driver Python
+ALU, JVM whole-stage-codegen ALU, Arrow/pandas-UDF roundtrip — timed
+after warmup in every run. Cross-round comparisons of the query keys
+should be normalized against the SAME round's probes: the sandbox VM
+backing each round differs (r4→r5 measured python-worker-heavy keys
+2-3x slower on identical code while JVM-codegen keys stayed flat).
+
 Scaling-efficiency evidence (north_rule: N vs 4N): run
 `python tools/scaling_bench.py` which executes the *same* index_build at
 local[1]/local[4]/local[16] in separate processes and appends to
@@ -290,6 +297,45 @@ def main() -> None:
             resume=False, dedupe=True)
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
+    settle()
+
+    # host calibration probes (fixed workloads, timed AFTER warmup):
+    # every BENCH artifact carries its own host-speed context, so a
+    # round-over-round drift in the query keys can be read against the
+    # same round's probes. Three axes, matching the three execution
+    # paths the suite exercises:
+    #   calib_py_loop_sec    driver-side pure-Python ALU (the sandbox
+    #                        hosts differ most here — r4→r5 measured a
+    #                        2-3x swing on python-worker-heavy keys
+    #                        while JVM-codegen keys stayed flat)
+    #   calib_jvm_alu_sec    zero-shuffle whole-stage-codegen job
+    #   calib_arrow_udf_sec  Arrow batch transfer + pandas work in
+    #                        executor python workers (the applyInPandas
+    #                        kernels' substrate)
+    def _calib():
+        t0 = time.monotonic()
+        s = 0
+        for i in range(20_000_000):
+            s += i
+        extras["calib_py_loop_sec"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        spark.range(500_000_000).select(
+            F.sum(F.xxhash64("id"))).collect()
+        extras["calib_jvm_alu_sec"] = round(time.monotonic() - t0, 3)
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _pm(x):
+            return (x * 1.0000001 + 3.0) ** 0.5
+
+        t0 = time.monotonic()
+        spark.range(20_000_000).select(
+            F.sum(_pm(F.col("id").cast("double")))).collect()
+        extras["calib_arrow_udf_sec"] = round(time.monotonic() - t0, 3)
+
+    _calib()
     settle()
 
     build_merge_query(pages, n_docs)

@@ -30,10 +30,20 @@ from search_suite_spark.operators.build import term_freqs_udf
 
 
 def tokens_col(text_col="text"):
-    """Ordered token array via the engine tokenizer (Arrow UDF)."""
-    from search_suite_spark.functions.normalise import tokenize_udf
+    """Ordered token array via the engine tokenizer — the JVM/Catalyst
+    expression (functions.normalise.tokens_column), parity-tested
+    against the Arrow-UDF twin (tests/test_normalise.py golden +
+    hypothesis suites). Codegen keeps every analysis scan that calls
+    this (lang_id, quality_score, token_counts, fingerprints, shingle
+    dedup) out of Python workers: one core per task instead of the
+    Arrow path's task-thread + worker-process pair, and immune to the
+    sandbox hosts' round-to-round Python-throughput swings (BENCH
+    calib_* keys)."""
+    from search_suite_spark.functions.normalise import tokens_column
 
-    return tokenize_udf()(F.col(text_col))
+    # null text → empty array (the Arrow twin's tokenize_series
+    # semantics; the raw Catalyst expr would propagate NULL)
+    return tokens_column(F.coalesce(F.col(text_col), F.lit("")))
 
 
 def exact_duplicates(df: DataFrame, key: str = "url", text: str = "text") -> DataFrame:
