@@ -150,6 +150,18 @@ def main() -> None:
                     spark, half_a, half_b, d_m, n_shards=max(cpus, 16)))
                 extras[f"{prefix}merge_docs_per_sec"] = round(
                     n_docs / timings[f"{prefix}merge_compact"], 1)
+                if not prefix:
+                    # partial match over a 2-segment collection (one
+                    # batched dictionary job + one result job)
+                    from search_suite_spark.sources.registry import (
+                        query_collection_partial,
+                    )
+
+                    timed("collection_partial",
+                          lambda: query_collection_partial(
+                              [half_a, half_b], "spark merge window",
+                              min_should_match=2, max_results=10,
+                          ).collect())
             finally:
                 shutil.rmtree(d_a, ignore_errors=True)
                 shutil.rmtree(d_b, ignore_errors=True)

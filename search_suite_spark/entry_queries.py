@@ -820,6 +820,24 @@ def q_collection_batch(spark, sf_dir):
     return out.select("qid", "url", F.round("score", 6).alias("score"))
 
 
+def q_collection_partial(spark, sf_dir):
+    """Partial match over a COLLECTION (min_should_match=2 of 3 terms):
+    per-segment wand_partial top-k with segment-local stats, url-dedupe
+    keeping the best-scoring row, global re-sort — completes the
+    flat/packed/collection symmetry for the disjunctive scored mode."""
+    from search_suite_spark.sources.registry import query_collection_partial
+
+    segs = _collection(spark, sf_dir)
+    out = query_collection_partial(
+        segs, "spark merge window", min_should_match=2, max_results=10
+    )
+    return out.select(
+        "url",
+        F.round("score", 6).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
 def q_spelling_collection(spark, sf_dir):
     """Q14 multi-segment: per-segment dictionary scans merged as the
     reference's word→dist→set monoid (set union of suggestion rows)."""
@@ -873,6 +891,7 @@ SPARK_QUERIES = {
     "doc_status": q_doc_status,
     "collection_scatter_gather": q_collection_scatter_gather,
     "collection_batch": q_collection_batch,
+    "collection_partial": q_collection_partial,
     "merge_then_query": q_merge_then_query,
     "query_with_metadata": q_query_with_metadata,
     "bm25_partial_match": q_bm25_partial_match,
@@ -995,6 +1014,48 @@ r_{qid} AS (
 )""".strip())
     sel = " UNION ALL ".join(f"SELECT * FROM r_{q}" for q in queries)
     return f"WITH {_HALF_CTE},\n" + ",\n".join(parts) + f"\n{sel}"
+
+
+def _scatter_gather_partial_sql(
+    terms: list[str], min_match: int, k: int = 10
+) -> str:
+    """Disjunctive twin of _scatter_gather_sql: per-segment partial
+    scoring (HAVING count >= min_match, score sums matched terms only),
+    per-segment top-k, url-merge keeping the best-scoring row (its
+    n_matched travels with it; n_matched DESC breaks exact score ties),
+    global re-sort — the SQL twin of registry.query_collection_partial
+    over the doc_id-parity collection."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_HALF_CTE},
+scored AS (
+  SELECT t.half, t.url,
+         sum( ln((s.num_docs - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * 2.2)
+              / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.doc_len::DOUBLE / s.avgdl::DOUBLE)))
+            ) AS exact_score,
+         CAST(count(*) AS BIGINT) AS n_matched
+  FROM tf t
+  JOIN dict d ON d.half = t.half AND d.term = t.term
+  JOIN dl ON dl.half = t.half AND dl.url = t.url
+  JOIN stats s ON s.half = t.half
+  WHERE t.term IN ({tl})
+  GROUP BY t.half, t.url
+  HAVING count(*) >= {min_match}
+),
+per_seg AS (
+  SELECT half, url, exact_score, n_matched,
+         row_number() OVER (PARTITION BY half ORDER BY exact_score DESC, url) AS rn
+  FROM scored
+),
+merged AS (
+  SELECT url, exact_score, n_matched,
+         row_number() OVER (PARTITION BY url ORDER BY exact_score DESC, n_matched DESC) AS mr
+  FROM per_seg WHERE rn <= {k}
+)
+SELECT url, round(exact_score, 6) AS score, n_matched
+FROM merged WHERE mr = 1 ORDER BY exact_score DESC, url LIMIT {k}
+""".strip()
 
 
 def _jaccard_sql(max_doc_id: int, threshold: float) -> str:
@@ -1360,6 +1421,9 @@ FROM want LEFT JOIN docs ON want.url = docs.url
     "ann_lsh_multiprobe": _lsh_topk_sql(max_hamming=1),
     "collection_scatter_gather": _scatter_gather_sql(["spark", "merge"]),
     "collection_batch": _scatter_gather_batch_sql(COLLECTION_BATCH_QUERIES),
+    "collection_partial": _scatter_gather_partial_sql(
+        ["spark", "merge", "window"], min_match=2
+    ),
     "spelling_collection": f"""
 WITH {_HALF_CTE},
 words(word) AS (VALUES ('spark'), ('merg'))

@@ -365,3 +365,61 @@ def query_collection_batch(
             .drop("_rk")
         )
     return out.orderBy("qid", F.col("score").desc(), F.col("url"))
+
+
+def query_collection_partial(
+    segs: dict[str, Segment] | list[Segment],
+    query: str,
+    min_should_match: int = 1,
+    max_results: int | None = 10,
+) -> DataFrame:
+    """Partial-match (min-should-match) scored query across ALL of a
+    collection's segments → (url, score, n_matched): per-segment
+    wand_partial top-k with segment-local stats, union, url-dedupe
+    keeping the best-scoring row (its n_matched travels with it),
+    global re-sort + limit — the disjunctive twin of query_collection,
+    completing the flat/packed/collection symmetry for every scored
+    query mode (reference collections answer only conjunctive,
+    QueryProcessor.hs:61-152; min-should-match is its own query.rs:
+    192-193 TODO, so the collection composition has no reference
+    counterpart to mirror — semantics follow query_collection's
+    max-score url merge).
+
+    Same driver-round-trip shape as query_collection: ONE tagged-union
+    dictionary job for all segments (collection_term_dfs), then one
+    result job — N segments never cost N sequential submits."""
+    from search_suite_spark.functions.normalise import normalise
+    from search_suite_spark.operators.wand import wand_partial
+
+    seg_list = list(segs.values()) if isinstance(segs, dict) else list(segs)
+    if not seg_list:
+        raise ValueError("empty collection")
+    q_terms = sorted(set(normalise(query)))
+    dfs_list = collection_term_dfs(seg_list, q_terms)
+    parts = [
+        wand_partial(
+            s,
+            query,
+            min_should_match=min_should_match,
+            max_results=max_results,
+            term_dfs=dfs_list[i],
+        )
+        for i, s in enumerate(seg_list)
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    # keep the best-scoring row per url; n_matched desc breaks exact
+    # score ties so the surviving row's values are deterministic
+    w = W.partitionBy("url").orderBy(
+        F.col("score").desc(), F.col("n_matched").desc()
+    )
+    out = (
+        allr.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy(F.col("score").desc(), F.col("url"))
+    )
+    if max_results is not None:
+        out = out.limit(max_results)
+    return out

@@ -94,3 +94,106 @@ def test_partial_respects_deletes(spark, tmp_path, flat):
         ).collect()
     }
     assert big == after
+
+
+# ---------------------------------------------------------------------------
+# collection composition (registry.query_collection_partial)
+
+
+@pytest.fixture(scope="module")
+def parity_collection(spark, tmp_path_factory):
+    """Two-segment collection split by doc_id parity (same shape as the
+    entry oracle's _collection fixture)."""
+    from search_suite_spark.sources.registry import (
+        index_into_collection,
+        load_collection,
+    )
+
+    col = str(tmp_path_factory.mktemp("pcol"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for parity in (0, 1):
+        half = docs.filter(F.col("doc_id") % 2 == parity).select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+                "url"
+            ),
+            "text",
+        )
+        index_into_collection(spark, half, col, n_shards=2, compact=False)
+    return load_collection(spark, col)
+
+
+@pytest.mark.parametrize("q,mm", [("spark merge window", 2),
+                                  ("the fast zzznope", 1)])
+def test_collection_partial_matches_manual_merge(parity_collection, q, mm):
+    """query_collection_partial == per-segment wand_partial top-k,
+    url-merged keeping the best-scoring row, re-sorted, limited."""
+    from search_suite_spark.sources.registry import query_collection_partial
+
+    k = 10
+    segs = list(parity_collection.values())
+    manual: dict[str, tuple[float, int]] = {}
+    for s in segs:
+        for r in wand_partial(s, q, min_should_match=mm,
+                              max_results=k).collect():
+            cur = manual.get(r["url"])
+            if cur is None or r["score"] > cur[0]:
+                manual[r["url"]] = (r["score"], r["n_matched"])
+    want = sorted(
+        manual.items(), key=lambda kv: (-kv[1][0], kv[0])
+    )[:k]
+
+    got = query_collection_partial(
+        parity_collection, q, min_should_match=mm, max_results=k
+    ).collect()
+    assert [r["url"] for r in got] == [u for u, _ in want]
+    for r, (u, (score, nm)) in zip(got, want):
+        assert r["score"] == pytest.approx(score, rel=1e-9)
+        assert r["n_matched"] == nm
+
+
+def test_collection_partial_dedupes_shared_url(spark, tmp_path):
+    """A url present in BOTH segments surfaces once, with the
+    best-scoring segment's (score, n_matched)."""
+    from search_suite_spark.sources.corpus import pages_from_docs_list
+    from search_suite_spark.sources.registry import (
+        index_into_collection,
+        load_collection,
+        query_collection_partial,
+    )
+
+    col = str(tmp_path / "ovcol")
+    # same url, different bodies: segment B's copy matches more terms
+    a = [("http://shared", "alpha beta"), ("http://onlya", "alpha gamma")]
+    b = [("http://shared", "alpha beta beta"), ("http://onlyb", "delta")]
+    index_into_collection(spark, pages_from_docs_list(spark, a), col,
+                          n_shards=2, compact=False)
+    index_into_collection(spark, pages_from_docs_list(spark, b), col,
+                          n_shards=2, compact=False)
+    segs = load_collection(spark, col)
+    rows = query_collection_partial(
+        segs, "alpha beta delta", min_should_match=1, max_results=None
+    ).collect()
+    urls = [r["url"] for r in rows]
+    assert urls.count("http://shared") == 1
+    per_seg = []
+    for s in segs.values():
+        for r in wand_partial(s, "alpha beta delta", 1).collect():
+            if r["url"] == "http://shared":
+                per_seg.append((r["score"], r["n_matched"]))
+    assert len(per_seg) == 2
+    best = max(per_seg)
+    got = next(r for r in rows if r["url"] == "http://shared")
+    assert got["score"] == pytest.approx(best[0], rel=1e-9)
+    assert got["n_matched"] == best[1]
+
+
+def test_collection_partial_empty_query_and_empty_collection(
+    spark, parity_collection
+):
+    from search_suite_spark.sources.registry import query_collection_partial
+
+    assert query_collection_partial(
+        parity_collection, "...", min_should_match=1
+    ).count() == 0
+    with pytest.raises(ValueError):
+        query_collection_partial({}, "spark")
