@@ -332,8 +332,9 @@ def main() -> None:
         extras["calib_py_loop_sec"] = round(time.monotonic() - t0, 3)
 
         t0 = time.monotonic()
+        # pmod keeps the running sum far from long overflow (ANSI mode)
         spark.range(500_000_000).select(
-            F.sum(F.xxhash64("id"))).collect()
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1024)))).collect()
         extras["calib_jvm_alu_sec"] = round(time.monotonic() - t0, 3)
 
         from pyspark.sql.functions import pandas_udf

@@ -136,3 +136,23 @@ def test_spelling_scan_pushes_length_predicate(spark, tmp_path):
     # and results stay correct: 'alpa' ~ 'alpha' at dist 1
     got = {(r["word"], r["dist"], r["suggestion"]) for r in sugg.collect()}
     assert ("alpa", 1, "alpha") in got and ("beta", 0, "beta") in got
+
+
+def test_partial_and_collection_plans_stay_pruned(spark, tmp_path):
+    """wand_partial (and therefore query_collection_partial's per-
+    segment legs) must push the query-term isin into the posting scan —
+    a disjunctive query still reads only its own terms' rows, never the
+    segment."""
+    from search_suite_spark.operators.wand import wand_partial
+    from search_suite_spark.sources.corpus import pages_from_docs_list
+    from search_suite_spark.sources.segments import build_segment
+
+    docs = [(f"http://p{i}", f"alpha beta gamma w{i}") for i in range(30)]
+    seg = build_segment(
+        pages_from_docs_list(spark, docs), str(tmp_path / "pseg"), n_shards=2
+    )
+    plan = _plan(wand_partial(seg, "alpha beta", min_should_match=1))
+    assert re.search(r"PushedFilters:.*[Ii]n\(term", plan), plan
+    # the kernel is the ONLY Python stage: one ArrowEvalPython-free scan
+    # side (FlatMapGroupsInPandas is the applyInPandas kernel itself)
+    assert "BatchEvalPython" not in plan, plan
