@@ -168,3 +168,89 @@ def test_big_corpus_packed_matches_flat(spark, tmp_path):
     flat = urls(structured_query(idx, q))
     packed = urls(structured_query_packed(seg, q))
     assert flat == packed and len(flat) > 0
+
+
+# ---------------------------------------------------------------------------
+# randomized flat-vs-packed equivalence (hypothesis)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from search_suite_spark.plans.structured import (
+    ClauseRegex,
+    ClauseText,
+    Conjunction,
+    evaluate_structured,
+)
+
+FUZZ_DOCS = [
+    ("f1", "apple banana cherry"),
+    ("f2", "apple banana"),
+    ("f3", "apple durian kiwi"),
+    ("f4", "elderberry kiwi"),
+    ("f5", "banana cherry durian"),
+    ("f6", "cherry"),
+    ("f7", "durian elderberry apple"),
+    ("f8", "kiwi banana"),
+]
+
+_TERMS = ["apple", "banana", "cherry", "durian", "elderberry", "kiwi",
+          "zzznope", "!!!"]
+_PATTERNS = ["^ap", "^ba", "(an|rr)", "^zzz", "ian$"]
+
+
+def _trees(depth):
+    leaf = st.one_of(
+        st.builds(
+            ClauseText,
+            st.lists(st.sampled_from(_TERMS), min_size=1, max_size=2)
+            .map(" ".join),
+        ),
+        st.builds(ClauseRegex, st.sampled_from(_PATTERNS)),
+    )
+    if depth == 0:
+        return leaf
+    return st.one_of(
+        leaf,
+        st.builds(
+            Conjunction,
+            st.sampled_from(["and", "or", "sub"]),
+            st.lists(_trees(depth - 1), min_size=1, max_size=3),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_idx(spark):
+    return build_index(pages_from_docs_list(spark, FUZZ_DOCS))
+
+
+@pytest.fixture(scope="module")
+def fuzz_segs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("sp_fuzz")
+    return [
+        build_segment(
+            pages_from_docs_list(spark, half), str(base / f"seg_{i}"),
+            n_shards=2, shards_per_batch=2, resume=False, dedupe=False,
+        )
+        for i, half in enumerate((FUZZ_DOCS[:4], FUZZ_DOCS[4:]))
+    ]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=_trees(2))
+def test_random_tree_flat_packed_collection_identity(
+    fuzz_idx, fuzz_segs, tree
+):
+    """Any clause tree yields the same doc-id set on the flat index, a
+    packed segment, and a 2-segment collection (urls are segment-
+    disjoint here, so collection leaf-union == flat leaf set)."""
+    flat = {r["doc_id"] for r in evaluate_structured(fuzz_idx, tree).collect()}
+    packed = {
+        r["doc_id"] for r in structured_ids_packed(fuzz_segs, tree).collect()
+    }
+    assert packed == flat
