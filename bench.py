@@ -261,7 +261,12 @@ def main() -> None:
                 for c in range(n_chunks):
                     qs = mk_queries(500, salt=(c + 1) * 100_000)
                     t0 = time.monotonic()
-                    bm25_batch(seg, qs, max_results=10).count()
+                    chunk = bm25_batch(seg, qs, max_results=10)
+                    chunk.count()
+                    # deterministic broadcast release: executor storage
+                    # stays flat across the stream instead of growing
+                    # until ContextCleaner notices
+                    chunk.ss_release()
                     walls.append(time.monotonic() - t0)
                 total_q = 500 * n_chunks
                 extras[f"{prefix}serving_chunks"] = n_chunks

@@ -95,16 +95,20 @@ def bm25_scored(
         .filter(F.col("term_count") == F.lit(n_instances))
     )
 
-    if max_results is not None:
-        per_doc = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
-            max_results
-        )
-
+    # resolve urls BEFORE the k-cut so boundary ties break on url —
+    # the same deterministic order the packed path and the SQL oracle
+    # use (ORDER BY score DESC, url LIMIT k); a doc_id cut would pick a
+    # different same-score doc at the boundary (doc_id = xxhash64(url)
+    # orders differently than url). Catalyst turns the final
+    # orderBy+limit into TakeOrderedAndProject (per-partition top-k +
+    # driver merge, no full sort).
     out = (
         per_doc.join(index.docs.select("doc_id", "url"), "doc_id")
         .select("url", "score", F.col("term_count").cast("int").alias("term_count"))
         .orderBy(F.col("score").desc(), F.col("url"))
     )
+    if max_results is not None:
+        out = out.limit(max_results)
     return out
 
 
@@ -153,15 +157,16 @@ def bm25_partial(
         )
         .filter(F.col("n_matched") >= F.lit(min_should_match))
     )
-    if max_results is not None:
-        per_doc = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
-            max_results
-        )
-    return (
+    # url-resolve before the k-cut: boundary ties break on url, rank-
+    # identical to wand_partial and the oracle (see bm25_scored note)
+    out = (
         per_doc.join(index.docs.select("doc_id", "url"), "doc_id")
         .select("url", "score", F.col("n_matched").cast("long").alias("n_matched"))
         .orderBy(F.col("score").desc(), F.col("url"))
     )
+    if max_results is not None:
+        out = out.limit(max_results)
+    return out
 
 
 def unscored_ids(

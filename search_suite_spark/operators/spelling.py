@@ -146,7 +146,13 @@ def term_deletion_index(
 
     Write it ``sortWithinPartitions("variant")`` (or bucketed by
     variant) so probe predicates skip row groups — the storage-level
-    analogue of descending only matching BK-tree edges."""
+    analogue of descending only matching BK-tree edges.
+
+    The build depth is recorded as ``variant`` field metadata
+    (``{"max_dist": d}``) — it survives parquet round-trips, and
+    ``spelling_suggestions_indexed`` refuses probes deeper than the
+    index was built for (the match would be silently incomplete:
+    term-side variants beyond the build depth don't exist)."""
     src = terms.select(F.col(term_col).alias("term")).where(
         F.col("term").isNotNull()
     )
@@ -174,7 +180,10 @@ def term_deletion_index(
             .distinct()
         )
         out = out.unionByName(level)
-    return out.distinct()
+    return out.distinct().select(
+        F.col("term"),
+        F.col("variant").alias("variant", metadata={"max_dist": max_dist}),
+    )
 
 
 def _deletion_variants(word: str, max_dist: int) -> set[str]:
@@ -197,7 +206,19 @@ def spelling_suggestions_indexed(
     (tests/test_spelling_symspell.py proves the identity), but the
     dictionary is never scanned: the probe is a pushed
     ``variant IN (...)`` lookup + broadcast join + exact-levenshtein
-    verify over the surviving candidates."""
+    verify over the surviving candidates.
+
+    Raises ``ValueError`` if ``max_dist`` exceeds the depth the index
+    was built with (recorded in the ``variant`` field metadata):
+    term-side variants past the build depth don't exist, so a deeper
+    probe would return silently incomplete rows instead of the
+    scan-identical set this function promises."""
+    built = (index.schema["variant"].metadata or {}).get("max_dist")
+    if built is not None and max_dist > built:
+        raise ValueError(
+            f"probe max_dist={max_dist} exceeds the index build depth "
+            f"{built}; rebuild term_deletion_index(max_dist={max_dist})"
+        )
     spark = index.sparkSession
     words = sorted(set(normalise(query)))
     if not words:

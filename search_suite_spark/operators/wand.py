@@ -278,6 +278,77 @@ def _single_term_topk(
     )
 
 
+def _block_upper_bounds(
+    lists, caches, terms, terms_meta, idfs, avgdl, cand, hits=None
+):
+    """Per-candidate block-max upper bound over ``terms``:
+    ub_term = mult · idf · impact(max_tf, min_dl)   when idf ≥ 0
+            = mult · idf · impact(min_tf, max_dl)   when idf <  0
+    (idf may be negative — ranking.rs:43-49 — which flips which block
+    extremum bounds the contribution from above). ``hits`` (partial
+    match): per-term boolean masks limiting each term's contribution to
+    the candidates it actually matches; None (conjunctive) = every term
+    contributes to every candidate."""
+    ub = np.zeros(cand.size, dtype=np.float64)
+    for t in terms:
+        h = hits[t] if hits is not None else None
+        if h is not None and not h.any():
+            continue
+        blk = caches[t].block_of(cand if h is None else cand[h])
+        mult = terms_meta[t][1]
+        if idfs[t] >= 0:
+            btf = lists[t].meta("block_max_tf")[blk]
+            bdl = lists[t].meta("block_min_dl")[blk]
+        else:
+            btf = lists[t].meta("block_min_tf")[blk]
+            bdl = lists[t].meta("block_max_dl")[blk]
+        contrib = mult * idfs[t] * impact_bound(btf, bdl, avgdl)
+        if h is None:
+            ub += contrib
+        else:
+            ub[h] += contrib
+    return ub
+
+
+def _theta_pruned_topk(ub, k, score_chunk):
+    """Exact scoring in upper-bound order, chunked; stop when the next
+    chunk's best possible score cannot beat the running θ (k-th best
+    exact score so far). ub ≥ exact always (impact ↑ in tf, ↓ in dl),
+    so pruning is lossless; ties with θ are KEPT (the global
+    score-then-url tie-break happens at the Spark layer).
+
+    ``score_chunk(sel)`` returns exact scores for candidate indices
+    ``sel``; it's the only thing that differs between the conjunctive
+    and partial-match kernels. Returns (kept_indices, kept_scores) —
+    everything scoring ≥ the k-th best; k=None scores everything."""
+    by_ub = np.argsort(-ub, kind="stable")
+    chunk = max(1024, 0 if k is None else 4 * k)
+    kept_sel: list[np.ndarray] = []
+    kept_scores: list[np.ndarray] = []
+    theta = -np.inf
+    n_scored = 0
+    for s in range(0, by_ub.size, chunk):
+        sel = by_ub[s : s + chunk]
+        if k is not None and n_scored >= k and ub[sel[0]] < theta:
+            break  # no remaining candidate can enter the top-k
+        kept_sel.append(sel)
+        kept_scores.append(score_chunk(sel))
+        n_scored += sel.size
+        if k is not None and n_scored >= k:
+            all_scores = np.concatenate(kept_scores)
+            theta = np.partition(all_scores, all_scores.size - k)[
+                all_scores.size - k
+            ]
+    sel_all = np.concatenate(kept_sel)
+    scores = np.concatenate(kept_scores)
+    if k is not None and sel_all.size > k:
+        # keep everything scoring ≥ the k-th best (ties survive for the
+        # global tie-break), drop the provably-out rest
+        keep = scores >= theta
+        sel_all, scores = sel_all[keep], scores[keep]
+    return sel_all, scores
+
+
 def _score_conjunctive(lists, caches, terms_meta, idfs, avgdl, k, deleted_ids):
     """Score ONE conjunctive query against a shard's decoded term lists.
 
@@ -328,62 +399,25 @@ def _score_conjunctive(lists, caches, terms_meta, idfs, avgdl, k, deleted_ids):
     if cand_ids.size == 0:
         return _empty_result()
 
-    # ---- phase 3: block-max upper bounds ---------------------------
-    # ub_term = mult · idf · impact(max_tf, min_dl)   when idf ≥ 0
-    #         = mult · idf · impact(min_tf, max_dl)   when idf <  0
-    # (idf may be negative — ranking.rs:43-49 — which flips which
-    # block extremum bounds the contribution from above)
+    # ---- phase 3: block-max upper bounds, then exact scoring in
+    # upper-bound order with lossless θ pruning (shared with the
+    # partial-match kernel — see _block_upper_bounds/_theta_pruned_topk)
     for t in order:
         caches.setdefault(t, _BlockCache(lists[t]))
-    ub = np.zeros(cand_ids.size, dtype=np.float64)
-    for t in order:
-        c = caches[t]
-        blk = c.block_of(cand_ids)
-        mult = terms_meta[t][1]
-        if idfs[t] >= 0:
-            btf = lists[t].meta("block_max_tf")[blk]
-            bdl = lists[t].meta("block_min_dl")[blk]
-        else:
-            btf = lists[t].meta("block_min_tf")[blk]
-            bdl = lists[t].meta("block_max_dl")[blk]
-        ub += mult * idfs[t] * impact_bound(btf, bdl, avgdl)
+    ub = _block_upper_bounds(
+        lists, caches, order, terms_meta, idfs, avgdl, cand_ids
+    )
 
-    # score exactly in upper-bound order, chunked; stop when the next
-    # chunk's best possible score cannot beat the running θ (k-th best
-    # exact score). ub ≥ exact always (impact ↑ in tf, ↓ in dl), so
-    # pruning is lossless; ties with θ are kept (global tie-break on
-    # doc_id happens at the Spark layer).
-    by_ub = np.argsort(-ub, kind="stable")
-    chunk = max(1024, 0 if k is None else 4 * k)
-    kept_ids: list[np.ndarray] = []
-    kept_scores: list[np.ndarray] = []
-    theta = -np.inf
-    n_scored = 0
-    for s in range(0, by_ub.size, chunk):
-        sel = by_ub[s : s + chunk]
-        if k is not None and n_scored >= k and ub[sel[0]] < theta:
-            break  # no remaining candidate can enter the top-k
+    def score_chunk(sel: np.ndarray) -> np.ndarray:
         ids_c = cand_ids[sel]
         score = np.zeros(ids_c.size, dtype=np.float64)
         for t in order:
             tf, dl = caches[t].lookup(ids_c)
             score += terms_meta[t][1] * idfs[t] * impact(tf, dl, avgdl)
-        kept_ids.append(ids_c)
-        kept_scores.append(score)
-        n_scored += ids_c.size
-        if k is not None and n_scored >= k:
-            all_scores = np.concatenate(kept_scores)
-            theta = np.partition(all_scores, all_scores.size - k)[
-                all_scores.size - k
-            ]
+        return score
 
-    out_ids = np.concatenate(kept_ids)
-    out_scores = np.concatenate(kept_scores)
-    if k is not None and out_ids.size > k:
-        # keep everything scoring ≥ the k-th best (ties survive for
-        # the global doc_id tie-break), drop the provably-out rest
-        keep = out_scores >= theta
-        out_ids, out_scores = out_ids[keep], out_scores[keep]
+    sel_kept, out_scores = _theta_pruned_topk(ub, k, score_chunk)
+    out_ids = cand_ids[sel_kept]
 
     return pd.DataFrame(
         {
@@ -440,30 +474,11 @@ def _score_partial(
         hits[t] = hits[t][keep]
         caches.setdefault(t, _BlockCache(lists[t]))
 
-    ub = np.zeros(cand.size, dtype=np.float64)
-    for t in present:
-        h = hits[t]
-        if not h.any():
-            continue
-        blk = caches[t].block_of(cand[h])
-        mult = terms_meta[t][1]
-        if idfs[t] >= 0:
-            btf = lists[t].meta("block_max_tf")[blk]
-            bdl = lists[t].meta("block_min_dl")[blk]
-        else:
-            btf = lists[t].meta("block_min_tf")[blk]
-            bdl = lists[t].meta("block_max_dl")[blk]
-        ub[h] += mult * idfs[t] * impact_bound(btf, bdl, avgdl)
+    ub = _block_upper_bounds(
+        lists, caches, present, terms_meta, idfs, avgdl, cand, hits=hits
+    )
 
-    by_ub = np.argsort(-ub, kind="stable")
-    chunk = max(1024, 0 if k is None else 4 * k)
-    kept_ids, kept_scores, kept_nm = [], [], []
-    theta = -np.inf
-    n_scored = 0
-    for s in range(0, by_ub.size, chunk):
-        sel = by_ub[s : s + chunk]
-        if k is not None and n_scored >= k and ub[sel[0]] < theta:
-            break
+    def score_chunk(sel: np.ndarray) -> np.ndarray:
         score = np.zeros(sel.size, dtype=np.float64)
         for t in present:
             h = hits[t][sel]
@@ -471,23 +486,10 @@ def _score_partial(
                 continue
             tf, dl = caches[t].lookup(cand[sel][h])
             score[h] += terms_meta[t][1] * idfs[t] * impact(tf, dl, avgdl)
-        kept_ids.append(cand[sel])
-        kept_scores.append(score)
-        kept_nm.append(n_matched[sel])
-        n_scored += sel.size
-        if k is not None and n_scored >= k:
-            all_scores = np.concatenate(kept_scores)
-            theta = np.partition(all_scores, all_scores.size - k)[
-                all_scores.size - k
-            ]
-    out_ids = np.concatenate(kept_ids)
-    out_scores = np.concatenate(kept_scores)
-    out_nm = np.concatenate(kept_nm)
-    if k is not None and out_ids.size > k:
-        keep2 = out_scores >= theta
-        out_ids, out_scores, out_nm = (
-            out_ids[keep2], out_scores[keep2], out_nm[keep2],
-        )
+        return score
+
+    sel_kept, out_scores = _theta_pruned_topk(ub, k, score_chunk)
+    out_ids, out_nm = cand[sel_kept], n_matched[sel_kept]
     return pd.DataFrame(
         {
             "doc_id": out_ids.view(np.int64),
@@ -859,6 +861,25 @@ def wand_partial(
 BATCH_RESULT_SCHEMA = "qid string, doc_id long, score double, term_count int"
 
 
+def _attach_release(df: DataFrame, bcs: list) -> DataFrame:
+    """Give a batch-query frame a deterministic executor-storage release:
+    ``df.ss_release()`` unpersists the metadata broadcasts after the
+    caller's consuming action. Without it the broadcast is freed only
+    when the frame is GC'd AND ContextCleaner next runs — still correct,
+    but under sustained serving (thousands of bm25_batch calls, each
+    broadcasting MBs of query metadata) executor storage grows
+    unboundedly between cleaner cycles. ss_release is safe even if the
+    frame is re-executed later: unpersist(blocking=False) drops executor
+    blocks only; the driver re-ships the value on the next job."""
+
+    def ss_release() -> None:
+        for b in bcs:
+            b.unpersist(False)
+
+    df.ss_release = ss_release
+    return df
+
+
 def bm25_batch(
     seg: Segment,
     queries: dict[str, str],
@@ -884,13 +905,20 @@ def bm25_batch(
     duplicate-term multiplicity, missing-term fast abort (empty result
     for that qid only), deletes filtering, top-k with score-then-url
     ordering.
+
+    The returned frame carries ``ss_release()``: serving loops call it
+    after their consuming action to drop the query-metadata broadcast
+    deterministically (see _attach_release).
     """
     spark = seg.postings.sparkSession
     if stats is not None:
         stats["blocks_decoded"] = spark.sparkContext.accumulator(0)
         stats["blocks_total"] = spark.sparkContext.accumulator(0)
-    empty = spark.createDataFrame(
-        [], "qid string, url string, score double, term_count int"
+    empty = _attach_release(
+        spark.createDataFrame(
+            [], "qid string, url string, score double, term_count int"
+        ),
+        [],
     )
     multis = {qid: Counter(normalise(q)) for qid, q in queries.items()}
     all_terms = sorted({t for m in multis.values() for t in m})
@@ -988,6 +1016,9 @@ def bm25_batch(
             .filter(F.col("_rn") <= max_results)
             .drop("_rn")
         )
-    return out.select("qid", "url", "score", "term_count").orderBy(
-        "qid", F.col("score").desc(), F.col("url")
+    return _attach_release(
+        out.select("qid", "url", "score", "term_count").orderBy(
+            "qid", F.col("score").desc(), F.col("url")
+        ),
+        [meta_bc],
     )

@@ -310,17 +310,28 @@ def structured_query(index: InvertedIndex, query: str) -> DataFrame:
 
     Cache lifetime: a multi-regex tree persists ONE shared dictionary
     scan for the duration of this call only — the id set is
-    materialized eagerly (localCheckpoint; result-set-sized, the same
-    bound as the reference's in-memory UnscoredResults set) and the
-    scan unpersisted before returning, so interleaved queries on one
-    session never touch each other's caches. Trees with ≤1 regex leaf
-    stay fully lazy."""
+    materialized eagerly (result-set-sized, the same bound as the
+    reference's in-memory UnscoredResults set) while the scan is hot,
+    and the scan is unpersisted (in a finally: a failed job can't leak
+    it) before returning, so interleaved queries on one session never
+    touch each other's caches. Trees with ≤1 regex leaf stay fully
+    lazy. Materialization uses the durable ``checkpoint`` when the
+    context has a checkpoint dir (cluster deployments: blocks survive
+    executor loss); otherwise ``localCheckpoint``, whose blocks are
+    NOT recomputable — acceptable on a single-node/local session,
+    where losing an executor means losing the session anyway."""
     owned: list[DataFrame] = []
-    ids = evaluate_structured(
-        index, parse_structured_query(query), _owned=owned
-    )
-    if owned:
-        ids = ids.localCheckpoint(eager=True)
+    try:
+        ids = evaluate_structured(
+            index, parse_structured_query(query), _owned=owned
+        )
+        if owned:
+            sc = index.docs.sparkSession.sparkContext
+            if sc.getCheckpointDir() is not None:
+                ids = ids.checkpoint(eager=True)
+            else:
+                ids = ids.localCheckpoint(eager=True)
+    finally:
         for df in owned:
             df.unpersist()
     return ids.join(index.docs.select("doc_id", "url"), "doc_id")

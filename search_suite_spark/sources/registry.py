@@ -331,7 +331,11 @@ def query_collection_batch(
 
     The N-segments × M-queries workload costs ONE batched dictionary job
     + ONE result job total (the reference answers this shape with one
-    process per segment per query, QueryProcessor.hs:72)."""
+    process per segment per query, QueryProcessor.hs:72).
+
+    The returned frame carries ``ss_release()`` (see wand._attach_release):
+    serving loops call it after their action to drop the per-segment
+    query-metadata broadcasts deterministically."""
     from search_suite_spark.functions.normalise import normalise
     from search_suite_spark.operators.wand import bm25_batch
 
@@ -340,12 +344,11 @@ def query_collection_batch(
         raise ValueError("empty collection")
     q_terms = sorted({t for q in queries.values() for t in normalise(q)})
     dfs_list = collection_term_dfs(seg_list, q_terms)
-    parts = [
-        bm25_batch(
-            s, queries, max_results=max_results, term_dfs=dfs_list[i]
-        ).select("qid", "url", "score")
-        for i, s in enumerate(seg_list)
-    ]
+    parts, releases = [], []
+    for i, s in enumerate(seg_list):
+        p = bm25_batch(s, queries, max_results=max_results, term_dfs=dfs_list[i])
+        releases.append(p.ss_release)  # .select below returns a NEW frame
+        parts.append(p.select("qid", "url", "score"))
     allr = parts[0]
     for p in parts[1:]:
         allr = allr.unionByName(p)
@@ -364,7 +367,14 @@ def query_collection_batch(
             .filter(F.col("_rk") <= max_results)
             .drop("_rk")
         )
-    return out.orderBy("qid", F.col("score").desc(), F.col("url"))
+    out = out.orderBy("qid", F.col("score").desc(), F.col("url"))
+
+    def _release_all() -> None:
+        for r in releases:
+            r()
+
+    out.ss_release = _release_all
+    return out
 
 
 def query_collection_partial(

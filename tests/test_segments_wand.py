@@ -368,6 +368,21 @@ def test_bm25_batch_matches_individual(spark, seg):
     assert bm25_batch(seg, {"a": "zzznope", "b": "!!!"}).count() == 0
 
 
+def test_bm25_batch_release_contract(spark, seg):
+    """Serving-loop lifecycle: the returned frame carries ss_release()
+    (drops the metadata broadcast's executor blocks after the action),
+    the empty-batch frame carries a no-op one, and a released frame is
+    still re-executable (the driver re-ships the broadcast value)."""
+    from search_suite_spark.operators.wand import bm25_batch
+
+    df = bm25_batch(seg, {"q": "spark merge"}, max_results=5)
+    first = [(r["qid"], r["url"]) for r in df.collect()]
+    assert first
+    df.ss_release()
+    assert [(r["qid"], r["url"]) for r in df.collect()] == first
+    bm25_batch(seg, {"a": "zzznope"}).ss_release()  # empty path: no-op
+
+
 def test_bm25_batch_respects_deletes(spark, seg):
     """Batch scoring must filter deleted docs exactly like the
     single-query path (both deletes routings share _route_deletes)."""

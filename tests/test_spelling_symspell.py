@@ -118,3 +118,26 @@ def test_persisted_index_pushes_variant_probe(spark, idx, tmp_path):
 
 def test_empty_query(spark, del_index):
     assert spelling_suggestions_indexed(del_index, "...").count() == 0
+
+
+def test_probe_deeper_than_build_raises(spark, idx, del_index, tmp_path):
+    """A d=2 probe against a d=1 index would be silently incomplete
+    (term-side depth-2 variants don't exist) — it must raise instead.
+    The build depth rides the variant field metadata, so the contract
+    survives a parquet round-trip too."""
+    with pytest.raises(ValueError, match="build depth 1"):
+        spelling_suggestions_indexed(del_index, "spark", max_dist=2)
+    path = str(tmp_path / "spell_idx_d1")
+    term_deletion_index(idx.terms, max_dist=1).write.parquet(path)
+    disk = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="build depth 1"):
+        spelling_suggestions_indexed(disk, "spark", max_dist=2)
+    # an index without recorded depth (e.g. built by an older writer)
+    # is accepted as-is
+    legacy = disk.select(
+        "term", F.col("variant").alias("variant", metadata={})
+    )
+    assert (
+        spelling_suggestions_indexed(legacy, "spark merg", max_dist=1).count()
+        > 0
+    )

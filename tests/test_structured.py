@@ -134,3 +134,47 @@ def test_multi_regex_no_match_leaf(idx):
     # a regex leaf matching no dictionary term is an empty set
     q = "/\\ ~ ^ap\n/\\ ~ ^zzz"
     assert urls(structured_query(idx, q)) == set()
+
+
+def _n_cached_rdds(spark):
+    # DataFrame-level cache entries (the idx fixture may hold some, and
+    # localCheckpoint blocks live at the RDD level, outside this count;
+    # the assertion is on the DELTA, not emptiness)
+    return spark._jsparkSession.sharedState().cacheManager().numCachedEntries()
+
+
+def test_multi_regex_cache_released_even_on_failure(spark, idx):
+    """The shared dictionary-scan persist lives exactly one call: it is
+    released after a successful query AND (via finally) after one whose
+    materialization job fails mid-flight — a long-lived serving session
+    must not accumulate orphaned caches from failed queries."""
+    before = _n_cached_rdds(spark)
+    q_ok = "-- \\/ ~ ^ba\n   \\/ ~ ^el\n-- ~ ^du"
+    assert urls(structured_query(idx, q_ok)) == {"u1", "u2", "u4"}
+    assert _n_cached_rdds(spark) == before
+    # invalid Java regex compiles only at execution: the eager
+    # materialization job raises AFTER the scan was persisted
+    with pytest.raises(Exception):
+        structured_query(idx, "/\\ ~ ^ba\n/\\ ~ (unclosed")
+    assert _n_cached_rdds(spark) == before
+
+
+def test_multi_regex_durable_checkpoint_when_dir_set(spark, idx, tmp_path):
+    """With a checkpoint dir configured (cluster deployments), the
+    eager id-set materialization takes the durable-checkpoint branch —
+    blocks survive executor loss, unlike localCheckpoint's."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        q = "-- \\/ ~ ^ba\n   \\/ ~ ^el\n-- ~ ^du"
+        assert urls(structured_query(idx, q)) == {"u1", "u2", "u4"}
+        import os
+
+        assert any(os.scandir(str(tmp_path / "ckpt")))
+    finally:
+        # restore: other suites assume no checkpoint dir (Scala setter
+        # name contains '$', so getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )

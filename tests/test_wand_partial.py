@@ -197,3 +197,40 @@ def test_collection_partial_empty_query_and_empty_collection(
     ).count() == 0
     with pytest.raises(ValueError):
         query_collection_partial({}, "spark")
+
+
+def test_tie_boundary_cut_is_url_deterministic(spark, tmp_path):
+    """Exact score ties straddling the k boundary: every path (flat
+    conjunctive/partial, packed conjunctive/partial) must pick the SAME
+    docs — ties break on url at the CUT, not only in display order
+    (the oracle's ORDER BY score DESC, url LIMIT k). Identical text ⇒
+    identical tf/doc_len ⇒ bit-identical BM25 scores."""
+    from search_suite_spark.operators.query import bm25_scored
+    from search_suite_spark.operators.wand import wand_scored
+    from search_suite_spark.sources.corpus import pages_from_docs_list
+
+    docs = [
+        ("http://winner", "tie tie extra"),          # higher score (tf=2)
+        ("http://z-late", "tie filler filler"),      # the tied trio:
+        ("http://a-early", "tie filler filler"),     #   same text, url
+        ("http://m-mid", "tie filler filler"),       #   order decides
+    ] + [
+        # keep df("tie") < N/2 so idf stays positive (df=4, N=9): with a
+        # negative idf the tf=2 doc would score BELOW the tf=1 trio
+        (f"http://pad{i}", "unrelated words only")
+        for i in range(5)
+    ]
+    pages = pages_from_docs_list(spark, docs)
+    flat_idx = build_index(pages, dedupe=False)
+    seg2 = build_segment(
+        pages, str(tmp_path / "tieseg"), n_shards=2, shards_per_batch=2,
+        dedupe=False,
+    )
+    expect = ["http://winner", "http://a-early"]  # k=2: winner + url-min tie
+    for got in (
+        bm25_scored(flat_idx, "tie", max_results=2),
+        bm25_partial(flat_idx, "tie", min_should_match=1, max_results=2),
+        wand_scored(seg2, "tie", max_results=2),
+        wand_partial(seg2, "tie", min_should_match=1, max_results=2),
+    ):
+        assert [r["url"] for r in got.collect()] == expect
