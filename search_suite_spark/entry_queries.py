@@ -345,6 +345,30 @@ def q_doc_fingerprint(spark, sf_dir):
     return TA.doc_fingerprint(_pages(spark, sf_dir))
 
 
+def q_decontaminate(spark, sf_dir):
+    # deterministic stand-in benchmark: every 37th doc (a real pipeline
+    # passes the eval corpus here); those docs flag as contaminated by
+    # construction, plus any training doc sharing a 5-gram with one
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+    )
+    return TA.decontaminate(_pages(spark, sf_dir), bench, n=5)
+
+
+def q_repetition_3gram(spark, sf_dir):
+    return TA.repetition_ratio(_pages(spark, sf_dir), n=3)
+
+
+def q_pii_scrub(spark, sf_dir):
+    return TA.pii_scrub(_pages(spark, sf_dir))
+
+
+def q_dataset_split(spark, sf_dir):
+    return TA.dataset_split(_pages(spark, sf_dir))
+
+
 def q_bm25_packed_topk(spark, sf_dir):
     from search_suite_spark.operators.wand import wand_scored
 
@@ -875,6 +899,10 @@ SPARK_QUERIES = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
+    "decontaminate": q_decontaminate,
+    "repetition_3gram": q_repetition_3gram,
+    "pii_scrub": q_pii_scrub,
+    "dataset_split": q_dataset_split,
     "bm25_packed_topk": q_bm25_packed_topk,
     "bm25_packed_single": q_bm25_packed_single,
     "bm25_batch": q_bm25_batch,
@@ -1579,6 +1607,72 @@ WITH pages AS (
 t AS (SELECT url, {tok_sql('text')} AS toks FROM pages),
 s AS (SELECT url, {_LANG_CASE_SCORES} FROM t)
 SELECT url, {_LANG_PRED} AS pred_lang FROM s
+""".strip(),
+    "decontaminate": f"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text, doc_id FROM documents
+),
+t AS (SELECT url, doc_id, {tok_sql('text')} AS toks FROM pages),
+g AS (
+  SELECT url, doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(toks) - 4, 0)),
+    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+  FROM t
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT g.url, CAST(count(*) AS BIGINT) AS n_hits
+  FROM g JOIN bench USING (gram) GROUP BY g.url
+)
+SELECT p.url,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_contaminated_grams,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM pages p LEFT JOIN hits h ON p.url = h.url
+""".strip(),
+    "repetition_3gram": f"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+),
+t AS (SELECT url, {tok_sql('text')} AS toks FROM pages),
+base AS (
+  SELECT url,
+         CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS BIGINT) AS n_distinct
+  FROM t
+)
+SELECT url, n_grams,
+       round(CASE WHEN n_grams > 0
+             THEN 1.0 - n_distinct::DOUBLE / n_grams ELSE 0.0 END, 6) AS dup_ratio
+FROM base
+""".strip(),
+    "pii_scrub": """
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+)
+SELECT url,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')) AS clean_md5
+FROM pages
+""".strip(),
+    "dataset_split": """
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url FROM documents
+),
+b AS (
+  SELECT url,
+         CAST(CAST(concat('0x', substr(md5(url), 1, 8)) AS BIGINT) % 1000 AS BIGINT) AS bucket
+  FROM pages
+)
+SELECT url, bucket,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
 """.strip(),
     "quality_score": f"""
 WITH pages AS (

@@ -59,17 +59,25 @@ def exact_duplicates(df: DataFrame, key: str = "url", text: str = "text") -> Dat
     )
 
 
+def ngrams_col(toks, n: int):
+    """Array of space-joined token n-grams over an ordered token array;
+    docs shorter than n tokens get an EMPTY array (sequence(0, -1) would
+    otherwise descend to [0, -1] and slice(toks, 0, n) throws)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(df: DataFrame, key: str = "url", text: str = "text", n: int = 3) -> DataFrame:
     """(key, shingle) distinct n-token shingles per doc."""
     toks = df.select(F.col(key), tokens_col(text).alias("toks"))
     sh = toks.select(
         F.col(key),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(-1))),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-            )
-        ).alias("shingle"),
+        F.explode(ngrams_col(F.col("toks"), n)).alias("shingle"),
     )
     return sh.distinct()
 

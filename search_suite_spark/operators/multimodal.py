@@ -132,7 +132,10 @@ def frame_sample(meta: DataFrame, every_n: int = 100) -> DataFrame:
     `sequence` + `explode` keeps it JVM-side; the downstream frame decode
     would be another mapInPandas over (url, frame_idx) batches."""
     return (
-        meta.filter(F.col("kind") == "video")
+        # n_frames <= 0 (corrupt/empty container) contributes no rows —
+        # without the filter, sequence(0, -1, +step) raises and one bad
+        # row kills the whole job
+        meta.filter((F.col("kind") == "video") & (F.col("n_frames") > 0))
         .select(
             "url",
             F.explode(

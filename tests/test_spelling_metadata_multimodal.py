@@ -150,6 +150,18 @@ def test_frame_sample(spark, media):
         assert len(idxs) == (vids[url] - 1) // 500 + 1
 
 
+def test_frame_sample_zero_frame_video_contributes_nothing(spark):
+    """A corrupt/empty container (n_frames = 0) must yield no sampled
+    rows — not an IllegalArgumentException from sequence(0, -1, +step)
+    killing the whole job (one bad row in a 100 TB scan)."""
+    meta = spark.createDataFrame(
+        [("u0", "video", 0), ("u1", "video", 3), ("u2", "image", 0)],
+        "url string, kind string, n_frames int",
+    )
+    got = frame_sample(meta, every_n=2).collect()
+    assert {(r["url"], r["frame_idx"]) for r in got} == {("u1", 0), ("u1", 2)}
+
+
 def test_real_decode_is_marked_stub():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
