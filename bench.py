@@ -439,12 +439,25 @@ def main() -> None:
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         "text",
     )
+    # same warmup policy as the index build above: each analytics shape
+    # runs once untimed on a tiny slice so whole-stage-codegen compile +
+    # JIT (a one-off per query shape, measured ~3s for the tokenizer
+    # expression vs ~0.3s steady-state at sf0.1) stays out of the timed
+    # region — these are minutes-long scans at production size, where
+    # the compile cost is noise, not a per-run tax.
+    mini = docs.limit(200).cache()
+    mini.count()
+    D.minhash_candidates(mini, n=3, bands=8, max_bucket=200).count()
+    TA.quality_score(mini).join(TA.lang_id(mini), "url").count()
+    mini.unpersist()
+
     timed("dedup_minhash", lambda: D.minhash_candidates(
         docs, n=3, bands=8, max_bucket=200).count())
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
           .select("embedding").collect()[0]["embedding"]]
+    S.cosine_topk(emb.limit(200), qv, k=10).collect()  # untimed JIT warmup
     timed("ann_cosine", lambda: S.cosine_topk(emb, qv, k=10).collect())
 
     timed("text_scan", lambda: TA.quality_score(
