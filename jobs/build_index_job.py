@@ -27,6 +27,14 @@ def main() -> None:
     ap.add_argument("--shards-per-batch", type=int, default=32)
     ap.add_argument("--n-tbuckets", type=int, default=64)
     ap.add_argument("--no-dedupe", action="store_true")
+    ap.add_argument(
+        "--bench-json",
+        action="store_true",
+        help="run an untimed miniature warmup build first (JIT/codegen "
+        "compile out of the timed region — the ladder protocol), then "
+        "print one BENCH_JSON line with the timed build's wall seconds "
+        "and docs/sec",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("search_suite_build").getOrCreate()
@@ -41,15 +49,52 @@ def main() -> None:
         if args.pages_parquet
         else spark.read.table(args.pages_table)
     )
-    seg = build_segment(
-        pages,
-        args.seg_dir,
-        n_shards=args.n_shards,
-        shards_per_batch=args.shards_per_batch,
-        n_tbuckets=args.n_tbuckets,
-        resume=True,
-        dedupe=not args.no_dedupe,
-    )
+    if args.bench_json:
+        import json
+        import shutil
+        import tempfile
+        import time
+
+        # input materialized (cached) and codegen/JIT compiled by a
+        # miniature warmup build BEFORE the timed region — identical to
+        # the scaling-ladder protocol, so spark-submit rungs compare
+        # like-for-like with the in-process ladder in BASELINE.md
+        pages = pages.cache()
+        n_docs = pages.count()
+        warm_dir = tempfile.mkdtemp(prefix="submit_warm_")
+        try:
+            build_segment(
+                pages.limit(2000), warm_dir, n_shards=4,
+                shards_per_batch=4, resume=False, dedupe=True)
+        finally:
+            shutil.rmtree(warm_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        seg = build_segment(
+            pages,
+            args.seg_dir,
+            n_shards=args.n_shards,
+            shards_per_batch=args.shards_per_batch,
+            n_tbuckets=args.n_tbuckets,
+            resume=True,
+            dedupe=not args.no_dedupe,
+        )
+        secs = time.monotonic() - t0
+        print("BENCH_JSON " + json.dumps({
+            "n_docs": n_docs,
+            "num_docs": seg.num_docs,
+            "secs": round(secs, 3),
+            "docs_per_sec": round(n_docs / secs, 1),
+        }))
+    else:
+        seg = build_segment(
+            pages,
+            args.seg_dir,
+            n_shards=args.n_shards,
+            shards_per_batch=args.shards_per_batch,
+            n_tbuckets=args.n_tbuckets,
+            resume=True,
+            dedupe=not args.no_dedupe,
+        )
     print(
         f"segment ready: {seg.path} num_docs={seg.num_docs} "
         f"total_doc_len={seg.total_doc_len}"

@@ -61,6 +61,9 @@ def test_spark_submit_build_job_end_to_end(tmp_path, spark):
             "--seg-dir", seg_dir,
             "--n-shards", "2",
             "--shards-per-batch", "2",
+            # tools/submit_ladder.py's contract: an untimed warmup build
+            # then one parseable BENCH_JSON line for the timed build
+            "--bench-json",
         ],
         cwd=str(tmp_path),  # NOT the repo: imports must come from the zip
         env=env,
@@ -69,6 +72,16 @@ def test_spark_submit_build_job_end_to_end(tmp_path, spark):
         timeout=600,
     )
     assert out.returncode == 0, out.stderr[-3000:]
+
+    bench_lines = [
+        l for l in out.stdout.splitlines() if l.startswith("BENCH_JSON ")
+    ]
+    assert len(bench_lines) == 1, out.stdout[-2000:]
+    import json
+
+    bench = json.loads(bench_lines[0][len("BENCH_JSON "):])
+    assert bench["n_docs"] == 8 and bench["num_docs"] == 8
+    assert bench["secs"] > 0 and bench["docs_per_sec"] > 0
 
     # the submitted job's segment is a valid, queryable segment
     from search_suite_spark.operators.wand import wand_scored
