@@ -295,6 +295,61 @@ def main() -> None:
                     seg, "spark merge window", min_should_match=2,
                     max_results=10,
                 ).collect())
+
+                # index-size / compression (north_rule: delta + vbyte
+                # postings): read from the segment's own per-shard
+                # lineage metrics — zero data-scan cost. The
+                # uncompressed baseline is 16 B/posting (8 B docid +
+                # 4 B tf + 4 B doc_len).
+                from search_suite_spark.sources.segment_io import current_io
+
+                lrow = current_io().read_lineage(spark, seg_dir).agg(
+                    F.sum("n_postings").alias("p"),
+                    F.sum("packed_bytes").alias("b"),
+                ).collect()[0]
+                extras["postings_total"] = int(lrow["p"])
+                extras["postings_packed_bytes"] = int(lrow["b"])
+                extras["bytes_per_posting"] = round(
+                    lrow["b"] / lrow["p"], 3)
+                extras["postings_compression_x"] = round(
+                    16.0 * lrow["p"] / lrow["b"], 2)
+
+                # RESUME (north_rule: an interrupted build resumes from
+                # per-shard lineage without recomputation): simulate a
+                # crash that lost half the shards — truncate lineage to
+                # the surviving half, drop the lost shards' partitions —
+                # then time the resumed build over the SAME pages input.
+                # Expected cost ≈ the lost half's share of index_build
+                # (dedupe re-runs corpus-wide; tokenize+pack only touch
+                # the missing shards) — far below a full rebuild.
+                # File-level crash surgery needs the parquet layout.
+                from search_suite_spark.sources.segment_io import (
+                    ParquetSegmentIO,
+                )
+
+                if type(current_io()) is ParquetSegmentIO:
+                    n_sh = max(cpus, 16)
+                    keep = n_sh // 2
+                    lin_pd = spark.read.parquet(
+                        f"{seg_dir}/lineage"
+                    ).filter(F.col("shard") < keep).toPandas()
+                    shutil.rmtree(f"{seg_dir}/lineage")
+                    spark.createDataFrame(lin_pd).write.parquet(
+                        f"{seg_dir}/lineage")
+                    for s in range(keep, n_sh):
+                        shutil.rmtree(f"{seg_dir}/postings/shard={s}",
+                                      ignore_errors=True)
+                        shutil.rmtree(f"{seg_dir}/docs/shard={s}",
+                                      ignore_errors=True)
+                    settle()
+                    timed("resume_build", lambda: build_segment(
+                        pages, seg_dir, n_shards=n_sh,
+                        shards_per_batch=n_sh, dedupe=True))
+                    extras["resume_lost_shard_frac"] = round(
+                        (n_sh - keep) / n_sh, 2)
+                    extras["resume_frac_of_build"] = round(
+                        timings["resume_build"]
+                        / timings["index_build"], 2)
         finally:
             shutil.rmtree(seg_dir, ignore_errors=True)
 
