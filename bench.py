@@ -288,6 +288,25 @@ def main() -> None:
                 )
                 from search_suite_spark.operators.wand import wand_partial
 
+                # same per-shape warmup policy as the analytics section:
+                # each NEW plan shape (leaf-kernel applyInPandas +
+                # membership agg; theta-pruned partial kernel) runs once
+                # untimed on a 2k-doc mini segment so one-off codegen/JIT
+                # compile stays out of the timed region
+                warm_seg_dir = tempfile.mkdtemp(prefix="bench_warm_sp_")
+                try:
+                    wseg = build_segment(
+                        pages.limit(2000), warm_seg_dir, n_shards=4,
+                        shards_per_batch=4, resume=False, dedupe=False)
+                    structured_query_packed(
+                        wseg, "/\\ spark\n/\\ \\/ merge\n   \\/ ~ ^jo"
+                    ).count()
+                    wand_partial(
+                        wseg, "spark merge window", min_should_match=2,
+                        max_results=10).collect()
+                finally:
+                    shutil.rmtree(warm_seg_dir, ignore_errors=True)
+
                 timed("structured_packed", lambda: structured_query_packed(
                     seg, "/\\ spark\n/\\ \\/ merge\n   \\/ ~ ^jo"
                 ).count())
@@ -314,42 +333,56 @@ def main() -> None:
                 extras["postings_compression_x"] = round(
                     16.0 * lrow["p"] / lrow["b"], 2)
 
-                # RESUME (north_rule: an interrupted build resumes from
-                # per-shard lineage without recomputation): simulate a
-                # crash that lost half the shards — truncate lineage to
-                # the surviving half, drop the lost shards' partitions —
-                # then time the resumed build over the SAME pages input.
-                # Expected cost ≈ the lost half's share of index_build
-                # (dedupe re-runs corpus-wide; tokenize+pack only touch
-                # the missing shards) — far below a full rebuild.
-                # File-level crash surgery needs the parquet layout.
-                from search_suite_spark.sources.segment_io import (
-                    ParquetSegmentIO,
-                )
+            # RESUME (north_rule: an interrupted build resumes from
+            # per-shard lineage without recomputation): simulate a
+            # crash that lost half the shards — truncate lineage to
+            # the surviving half, drop the lost shards' partitions —
+            # then time the resumed build over the SAME pages input.
+            # Expected cost ≈ the lost half's share of the variable
+            # work (dedupe + tokenize + pack all run post-shard-filter,
+            # only for missing shards) + a terms-table rebuild (term+n
+            # columnar scan, measured ~1s at 500k docs) + fixed job
+            # overhead. The DENOMINATOR is a same-window full rebuild
+            # into a scratch dir, not the run-opening index_build:
+            # single builds on this host swing 3x between windows
+            # (12-36s at 500k docs, BASELINE.md hardware context), so a
+            # cross-window ratio measures the host, not the resume.
+            # File-level crash surgery needs the parquet layout.
+            from search_suite_spark.sources.segment_io import (
+                ParquetSegmentIO,
+                current_io as _cur_io,
+            )
 
-                if type(current_io()) is ParquetSegmentIO:
-                    n_sh = max(cpus, 16)
-                    keep = n_sh // 2
-                    lin_pd = spark.read.parquet(
-                        f"{seg_dir}/lineage"
-                    ).filter(F.col("shard") < keep).toPandas()
-                    shutil.rmtree(f"{seg_dir}/lineage")
-                    spark.createDataFrame(lin_pd).write.parquet(
-                        f"{seg_dir}/lineage")
-                    for s in range(keep, n_sh):
-                        shutil.rmtree(f"{seg_dir}/postings/shard={s}",
-                                      ignore_errors=True)
-                        shutil.rmtree(f"{seg_dir}/docs/shard={s}",
-                                      ignore_errors=True)
-                    settle()
-                    timed("resume_build", lambda: build_segment(
-                        pages, seg_dir, n_shards=n_sh,
-                        shards_per_batch=n_sh, dedupe=True))
-                    extras["resume_lost_shard_frac"] = round(
-                        (n_sh - keep) / n_sh, 2)
-                    extras["resume_frac_of_build"] = round(
-                        timings["resume_build"]
-                        / timings["index_build"], 2)
+            if type(_cur_io()) is ParquetSegmentIO:
+                n_sh = max(cpus, 16)
+                keep = n_sh // 2
+                lin_pd = spark.read.parquet(
+                    f"{seg_dir}/lineage"
+                ).filter(F.col("shard") < keep).toPandas()
+                shutil.rmtree(f"{seg_dir}/lineage")
+                spark.createDataFrame(lin_pd).write.parquet(
+                    f"{seg_dir}/lineage")
+                for s in range(keep, n_sh):
+                    shutil.rmtree(f"{seg_dir}/postings/shard={s}",
+                                  ignore_errors=True)
+                    shutil.rmtree(f"{seg_dir}/docs/shard={s}",
+                                  ignore_errors=True)
+                settle()
+                scratch = tempfile.mkdtemp(prefix="bench_rebuild_")
+                try:
+                    timed(f"{prefix}rebuild_full", lambda: build_segment(
+                        pages, scratch, n_shards=n_sh,
+                        shards_per_batch=n_sh, resume=False, dedupe=True))
+                finally:
+                    shutil.rmtree(scratch, ignore_errors=True)
+                timed(f"{prefix}resume_build", lambda: build_segment(
+                    pages, seg_dir, n_shards=n_sh,
+                    shards_per_batch=n_sh, dedupe=True))
+                extras[f"{prefix}resume_lost_shard_frac"] = round(
+                    (n_sh - keep) / n_sh, 2)
+                extras[f"{prefix}resume_frac_of_build"] = round(
+                    timings[f"{prefix}resume_build"]
+                    / timings[f"{prefix}rebuild_full"], 2)
         finally:
             shutil.rmtree(seg_dir, ignore_errors=True)
 
@@ -531,12 +564,19 @@ def main() -> None:
 
     # headline value = the 1x suite only, key-for-key comparable with
     # every prior round's BENCH artifact; the 10x section reports its
-    # own total under x10_total_sec
+    # own total under x10_total_sec. rebuild_full is EXCLUDED from both:
+    # it is the resume ratio's same-window denominator (a duplicate
+    # build into a scratch dir), pure measurement scaffolding — counting
+    # it would inflate the suite wall by a second full build.
     total = round(
-        sum(v for k, v in timings.items() if not k.startswith("x10_")), 3
+        sum(v for k, v in timings.items()
+            if not k.startswith("x10_") and not k.endswith("rebuild_full")),
+        3,
     )
     x10 = round(
-        sum(v for k, v in timings.items() if k.startswith("x10_")), 3
+        sum(v for k, v in timings.items()
+            if k.startswith("x10_") and not k.endswith("rebuild_full")),
+        3,
     )
     if x10:
         extras["x10_total_sec"] = x10

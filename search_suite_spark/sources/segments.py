@@ -634,8 +634,7 @@ def build_segment(
     if pages.rdd.getNumPartitions() < target:
         pages = pages.repartition(target)
 
-    if dedupe and "warc_ts" in pages.columns:
-        pages = dedupe_newest_wins(pages)
+    do_dedupe = dedupe and "warc_ts" in pages.columns
 
     done = completed_shards(spark, seg_dir, io=io) if resume else set()
     todo = [s for s in range(n_shards) if s not in done]
@@ -647,6 +646,13 @@ def build_segment(
     for i in range(0, len(todo), shards_per_batch):
         batch = todo[i : i + shards_per_batch]
         bpages = sharded.filter(F.col("shard").isin(batch)).drop("shard")
+        if do_dedupe:
+            # AFTER the shard filter, not corpus-wide: every copy of a
+            # url lands in the same shard (shard = pmod(xxhash64(url))),
+            # so per-url newest-wins dedupe commutes with the filter —
+            # and a RESUMED build never pays the dedupe shuffle for
+            # pages whose shards already completed.
+            bpages = dedupe_newest_wins(bpages)
         # ONE codegen'd pass straight from pages: the JVM tokenizer emits
         # token instances with each doc's first row marked (negative
         # doc_len), so the pack shuffle feeds postings AND the docs

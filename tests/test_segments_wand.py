@@ -138,6 +138,46 @@ def test_resume_completes_interrupted_build(spark, seg, flat, tmp_path):
         assert w[url] == pytest.approx(score, rel=1e-9)
 
 
+def test_build_dedupe_per_batch_and_resume(spark, tmp_path):
+    """Newest-wins url dedupe runs AFTER the shard filter (it commutes:
+    every copy of a url shares its shard), so a resumed build skips the
+    dedupe shuffle for completed shards — and the result is identical to
+    corpus-wide dedupe: the duplicate url's OLD body never surfaces, on
+    the initial multi-batch build or across a crash/resume."""
+    from tests.conftest import require_parquet_layout
+
+    from search_suite_spark.sources.corpus import pages_tiny
+
+    require_parquet_layout()
+    pages = pages_tiny(spark)  # http://doc3 twice; "baz" only in the old body
+    d = str(tmp_path / "seg_dedupe")
+    seg = build_segment(pages, d, n_shards=4, shards_per_batch=2)
+    assert seg.num_docs == 3
+    assert [r["url"] for r in wand_scored(seg, "bazar").collect()] == [
+        "http://doc3"
+    ]
+    assert wand_scored(seg, "baz").count() == 0  # old doc3 body replaced
+
+    # crash after the first batch; the resumed build must keep the same
+    # dedupe result even though it only re-tokenizes the missing shards
+    import os
+
+    lin_pd = (
+        spark.read.parquet(f"{d}/lineage").filter(F.col("shard") < 2).toPandas()
+    )
+    shutil.rmtree(f"{d}/lineage")
+    spark.createDataFrame(lin_pd).write.parquet(f"{d}/lineage")
+    for s in (2, 3):
+        shutil.rmtree(f"{d}/postings/shard={s}", ignore_errors=True)
+        shutil.rmtree(f"{d}/docs/shard={s}", ignore_errors=True)
+    seg2 = build_segment(pages, d, n_shards=4, shards_per_batch=2)
+    assert seg2.num_docs == 3
+    assert [r["url"] for r in wand_scored(seg2, "bazar").collect()] == [
+        "http://doc3"
+    ]
+    assert wand_scored(seg2, "baz").count() == 0
+
+
 def test_blockmax_skips_scoring_decodes():
     """The block-max metadata must actually PRUNE: on a posting list with
     one high-impact block (tf=100 in block 0, tf=1 elsewhere), a k=5
