@@ -106,29 +106,49 @@ def jaccard_pairs(
             .distinct()
         )
         sh = sh.join(members, key, "left_semi")
-    sh = sh.cache()
-    sizes = sh.groupBy(key).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(key).alias("a"), "shingle")
-    b = sh.select(F.col(key).alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates.select("a", "b").distinct(), ["a", "b"], "left_semi")
-    out = (
-        inter.join(sizes.select(F.col(key).alias("a"), F.col("n_sh").alias("na")), "a")
-        .join(sizes.select(F.col(key).alias("b"), F.col("n_sh").alias("nb")), "b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+    # the shingle frame feeds three subplans (sizes + both join sides):
+    # persist for the duration of THIS evaluation only — the result is
+    # materialized eagerly (pair-sized, the same bound as the candidate
+    # frame) and the cache is released in the finally, so a serving loop
+    # never accumulates executor storage (the acquire.py leak class).
+    sh = sh.persist()
+    try:
+        sizes = sh.groupBy(key).agg(F.count("*").alias("n_sh"))
+        a = sh.select(F.col(key).alias("a"), "shingle")
+        b = sh.select(F.col(key).alias("b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_inter"))
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
-    )
+        if candidates is not None:
+            inter = inter.join(
+                candidates.select("a", "b").distinct(), ["a", "b"], "left_semi"
+            )
+        out = (
+            inter.join(
+                sizes.select(F.col(key).alias("a"), F.col("n_sh").alias("na")), "a"
+            )
+            .join(
+                sizes.select(F.col(key).alias("b"), F.col("n_sh").alias("nb")), "b"
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        )
+        sc = df.sparkSession.sparkContext
+        out = (
+            out.checkpoint(eager=True)
+            if sc.getCheckpointDir() is not None
+            else out.localCheckpoint(eager=True)
+        )
+    finally:
+        sh.unpersist()
     return out
 
 
@@ -140,18 +160,40 @@ def minhash_signatures(
     Simulates `bands` independent hash functions by salting md5 — portable
     across engines (the DuckDB oracle reproduces it exactly). One-row-per-
     band signatures are the LSH bucketing keys.
+
+    Physical shape (r6): the band multiplication happens in COLUMNS, not
+    rows — each shingle instance projects `bands` salted md5 columns, one
+    aggregation per key carries `bands` min buffers, and the tiny per-key
+    signature row explodes back to (key, band, sig) AFTER the shuffle.
+    Two exchanges disappear versus the row-wise form: the shingle
+    ``distinct`` (min() is insensitive to duplicate shingles, so the
+    dedupe bought nothing) and the bands crossJoin's ×bands row blowup
+    feeding the (sort-based — string min buffers) aggregation. The one
+    remaining exchange moves one row per key, not one per
+    (key, shingle, band).
     """
-    sh = shingles(df, key, text, n)
-    bands_df = df.sparkSession.range(bands).select(F.col("id").cast("int").alias("band"))
-    return (
-        sh.crossJoin(F.broadcast(bands_df))
-        .select(
-            F.col(key),
-            "band",
-            F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy(key, "band")
-        .agg(F.min("h").alias("sig"))
+    toks = df.select(F.col(key), tokens_col(text).alias("toks"))
+    sh = toks.select(
+        F.col(key), F.explode(ngrams_col(F.col("toks"), n)).alias("shingle")
+    )
+    sig_cols = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))
+        ).alias(f"_s{b}")
+        for b in range(bands)
+    ]
+    per_key = sh.groupBy(key).agg(*sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.col(f"_s{b}").alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return per_key.select(F.col(key), F.explode(band_structs).alias("_b")).select(
+        F.col(key), F.col("_b.band").alias("band"), F.col("_b.sig").alias("sig")
     )
 
 
@@ -174,6 +216,21 @@ def minhash_candidates(
     AQE skew-join only rebalances the pain, the cap removes it).
     """
     sig = minhash_signatures(df, key, text, n, bands)
+    # materialize the signature frame once: the bucket-cap window and
+    # BOTH sides of the bucket self-join otherwise re-evaluate the whole
+    # tokenize → shingle → min-agg pipeline per reference (no exchange
+    # reuse survives the join's aliasing). The frame is tiny — one row
+    # per (key, band) — so this is metadata-sized even at corpus scale.
+    # Durable checkpoint when the context has a checkpoint dir (cluster:
+    # blocks survive executor loss), else localCheckpoint (single-node
+    # sessions lose the session with the executor anyway) — the same
+    # policy as plans/structured.structured_query.
+    sc = df.sparkSession.sparkContext
+    sig = (
+        sig.checkpoint(eager=True)
+        if sc.getCheckpointDir() is not None
+        else sig.localCheckpoint(eager=True)
+    )
     if max_bucket is not None:
         from pyspark.sql import Window as W
 
@@ -223,39 +280,62 @@ def simhash16(df: DataFrame, key: str = "url", text: str = "text") -> DataFrame:
 
 
 def simhash64(df: DataFrame, key: str = "url", text: str = "text") -> DataFrame:
-    """64-bit SimHash via a vectorized Arrow UDF (numpy bit votes).
+    """64-bit SimHash as pure Column expressions → (key, simhash:long).
 
-    (key, simhash:long). Near-dup pairs = hamming distance ≤ k, found by
-    banding the 64 bits into 4×16-bit keys (pigeonhole: hamming ≤ 3 pairs
-    share at least one exact 16-bit band).
+    Per doc: every token instance of key+text votes ±1 on each of 64
+    bits (bit j of the first 8 bytes of md5(term), big-endian — summed
+    per-instance votes equal the per-(term, tf) votes of the classic
+    formulation); fingerprint bit j = vote_j > 0, assembled into a
+    signed int64. Near-dup pairs = hamming distance ≤ k, found by
+    banding the 64 bits into 4×16-bit keys (pigeonhole: hamming ≤ 3
+    pairs share at least one exact 16-bit band) — simhash_candidates.
+
+    JVM-side end to end (r6, the simhash16 nibble construction
+    generalized to 64 bits): tokenize (Catalyst tokenizer) → explode →
+    h = md5 first 16 hex chars as two 32-bit halves via conv() → 64
+    conditional-sum vote buffers in ONE hash aggregation per key. No
+    Python workers, no per-row hashing loops — the plan carries a single
+    exchange and zero BatchEvalPython/ArrowEvalPython nodes
+    (tests/test_dedup_simhash64.py pins parity with the reference
+    bit-vote definition and the plan shape).
     """
-    import hashlib
+    from search_suite_spark.functions.normalise import tokens_column
 
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    toks = df.select(
+        F.col(key),
+        tokens_column(
+            F.coalesce(F.col(key), F.lit("")),
+            F.coalesce(F.col(text), F.lit("")),
+        ).alias("toks"),
+    )
+    # explode_outer keeps zero-token docs: their single null term row
+    # votes -1 everywhere (when(null).otherwise(-1)), so every bit's
+    # vote is ≤ 0 and the fingerprint is 0 — the all-zero-votes result
+    # of the per-term formulation.
+    inst = toks.select(F.col(key), F.explode_outer("toks").alias("term"))
+    h = F.md5("term")
+    # int.from_bytes(md5[:8], 'big') == first 16 hex chars: bits 32..63
+    # live in hex chars 1-8, bits 0..31 in chars 9-16 (conv() is exact
+    # for 32-bit halves; the full 64 bits would overflow signed long).
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
 
-    from search_suite_spark.functions.normalise import normalise
+    def vote(j: int):
+        half = lo if j < 32 else hi
+        bit = F.shiftrightunsigned(half, j % 32).bitwiseAND(F.lit(1))
+        return F.sum(
+            F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
 
-    @pandas_udf("long")
-    def _simhash(urls: pd.Series, texts: pd.Series) -> pd.Series:
-        out = []
-        for url, text_ in zip(urls, texts):
-            counts: dict[str, int] = {}
-            for t in normalise(url if isinstance(url, str) else ""):
-                counts[t] = counts.get(t, 0) + 1
-            for t in normalise(text_ if isinstance(text_, str) else ""):
-                counts[t] = counts.get(t, 0) + 1
-            votes = np.zeros(64, dtype=np.int64)
-            for t, c in counts.items():
-                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                bits = (h >> np.arange(64)) & 1
-                votes += np.where(bits == 1, c, -c)
-            fp = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
-        return pd.Series(out, dtype="int64")
-
-    return df.select(F.col(key), _simhash(F.col(key), F.col(text)).alias("simhash"))
+    agg = inst.groupBy(key).agg(*[vote(j) for j in range(64)])
+    fp = F.lit(0).cast("long")
+    for j in range(63):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    # bit 63 is the sign bit of the int64 two's-complement encoding
+    fp = fp + F.when(
+        F.col("v63") > 0, F.lit(-(1 << 63))
+    ).otherwise(F.lit(0))
+    return agg.select(F.col(key), fp.cast("long").alias("simhash"))
 
 
 def simhash_candidates(sim: DataFrame, key_a: str = "a", max_hamming: int = 3) -> DataFrame:

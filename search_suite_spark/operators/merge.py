@@ -166,8 +166,19 @@ def merge_segments(
     # side still repacks (it may be re-sharding to a new n_shards).
     sides = []
     if seg_a.num_docs > 0:
-        sides.append(unpack_flat(seg_a).join(docs_a.select("doc_id"), "doc_id", "left_semi"))
+        flat_a = unpack_flat(seg_a)
+        # A's postings reference exactly A's docs by construction, so the
+        # live-docs semi-join is the identity unless A actually carries
+        # deletes — skip the join (broadcast build + probe over the full
+        # flat side) when the metadata hint says there are none.
+        if seg_a.deletes is not None and seg_a.n_deletes_hint != 0:
+            flat_a = flat_a.join(
+                docs_a.select("doc_id"), "doc_id", "left_semi"
+            )
+        sides.append(flat_a)
     if seg_b.num_docs > 0:
+        # B's semi-join also enforces the A-wins url dedupe, so it stays
+        # even when B has no deletes
         sides.append(unpack_flat(seg_b).join(docs_b.select("doc_id"), "doc_id", "left_semi"))
     if not sides:
         raise ValueError("refusing to merge two empty segments (index.rs:54-71)")

@@ -219,15 +219,21 @@ def unscored_ids(
             return spark.createDataFrame([], "doc_id long")
 
     # single-scan AND: one isin-pruned pass over the postings, then a
-    # distinct-term count per doc — the same plan shape as bm25_scored.
+    # matched-term count per doc — the same plan shape as bm25_scored.
     # (The previous rarest-first chain of per-term semi-joins re-shuffled
     # the postings once per query term; query.rs:97-113's rarest-first
     # ordering is an artifact of its single-node k-merge, not a win here.)
+    # count(*) == count_distinct(term) here because the flat postings
+    # carry exactly ONE row per (term, doc_id) — the build's tf
+    # aggregation guarantees it (build_index groups by (term, doc_id))
+    # and bm25_partial already relies on the same invariant; the
+    # count_distinct form planned a second expand/dedupe exchange for
+    # nothing.
     return (
         index.live_postings()
         .filter(F.col("term").isin(distinct_terms))
         .groupBy("doc_id")
-        .agg(F.count_distinct("term").alias("_nt"))
+        .agg(F.count("*").alias("_nt"))
         .filter(F.col("_nt") == len(distinct_terms))
         .select("doc_id")
     )

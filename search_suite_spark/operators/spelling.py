@@ -158,7 +158,7 @@ def term_deletion_index(
     )
     level = src.select("term", F.col("term").alias("variant"))
     out = level
-    for _ in range(max_dist):
+    for depth in range(max_dist):
         # delete the i-th character of every current variant; a 1-char
         # variant legitimately yields "" (lev("a","b")=1 is discovered
         # ONLY via the shared empty variant). Guard length > 0 before
@@ -177,8 +177,14 @@ def term_deletion_index(
                     F.expr("substring(variant, i + 1, length(variant))"),
                 ).alias("variant"),
             )
-            .distinct()
         )
+        # dedupe intermediate frontiers so deeper levels don't explode
+        # combinatorially — but NOT the last level: the final distinct
+        # below already dedupes the union, and the inner exchange would
+        # be pure overhead (at max_dist=1 this halves the build's
+        # shuffles: one distinct instead of two).
+        if depth < max_dist - 1:
+            level = level.distinct()
         out = out.unionByName(level)
     return out.distinct().select(
         F.col("term"),

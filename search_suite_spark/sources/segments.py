@@ -470,17 +470,6 @@ def pack_and_write(
             *[c.split(" ")[0] for c in PACKED_SCHEMA.split(", ")]
         )
 
-        # phase A — postings write: the FIRST scan of the persisted
-        # frame, so cache materialization fuses into a real write job
-        # (no separate warm-up count() pass).
-        io.write_postings(postings_out, seg_dir, mode)
-
-        # phase B — docs + terms writes overlap on driver threads (both
-        # are now cheap cache scans; each job's fixed submit/commit
-        # latency would otherwise be a serial tail). The physical layout
-        # (shard partitioning, in-file sort) lives in the SegmentIO impl.
-        import concurrent.futures as cf
-
         if single_pass:
             docs = packed.filter(is_doc_row).select(
                 "doc_id",
@@ -493,69 +482,105 @@ def pack_and_write(
                     else []
                 ),
             )
-        with cf.ThreadPoolExecutor(max_workers=2) as ex:
-            futs = [ex.submit(io.write_docs, docs, seg_dir, mode)]
+
+        # phase A+B — postings, docs and terms writes PLUS the lineage
+        # stats aggregation all run concurrently on driver threads (guide
+        # §2.6: actions are sequential only because driver code calls
+        # them sequentially). Every job is a scan of the one persisted
+        # packed frame; whichever task reaches an unmaterialized cache
+        # partition first computes it (block-level locking makes the
+        # race safe), so the expensive pack pipeline still runs once and
+        # the three small jobs' fixed submit/commit latencies hide
+        # behind the postings write instead of forming a serial tail
+        # (measured ~2s of pure tail per build on local[32]). Crash
+        # safety is unchanged: lineage — the "shard complete" marker the
+        # resume contract reads — is still written strictly LAST, and
+        # partially-written docs/postings of an unfinished batch are
+        # idempotently overwritten on re-run.
+        import concurrent.futures as cf
+
+        def _lineage_stats() -> dict[int, list[int]]:
+            # per-shard (n_docs, total_doc_len, n_terms, n_postings,
+            # packed_bytes) in ONE conditional aggregation per source —
+            # no join: the tiny per-shard rows are combined driver-side
+            if single_pass:
+                rows = packed.groupBy("shard").agg(
+                    F.count(F.when(is_doc_row, 1)).alias("n_docs"),
+                    F.sum(
+                        F.when(is_doc_row, F.col("doc_len"))
+                    ).alias("total_doc_len"),
+                    F.count(F.when(~is_doc_row, 1)).alias("n_terms"),
+                    F.sum(F.when(~is_doc_row, F.col("n"))).alias("n_postings"),
+                    F.sum(
+                        F.when(
+                            ~is_doc_row,
+                            F.length("ids") + F.length("tfs")
+                            + F.length("dls"),
+                        )
+                    ).alias("packed_bytes"),
+                ).collect()
+                return {
+                    int(r["shard"]): [
+                        int(r["n_docs"] or 0),
+                        int(r["total_doc_len"] or 0),
+                        int(r["n_terms"] or 0),
+                        int(r["n_postings"] or 0),
+                        int(r["packed_bytes"] or 0),
+                    ]
+                    for r in rows
+                }
+            stats: dict[int, list[int]] = {}
+            for r in postings_out.groupBy("shard").agg(
+                F.count("*").alias("n_terms"),
+                F.sum("n").alias("n_postings"),
+                F.sum(
+                    F.length("ids") + F.length("tfs") + F.length("dls")
+                ).alias("packed_bytes"),
+            ).collect():
+                stats[int(r["shard"])] = [
+                    0, 0, int(r["n_terms"]), int(r["n_postings"]),
+                    int(r["packed_bytes"]),
+                ]
+            for r in docs.groupBy("shard").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_len").alias("total_doc_len"),
+            ).collect():
+                s = stats.setdefault(int(r["shard"]), [0, 0, 0, 0, 0])
+                s[0] = int(r["n_docs"] or 0)
+                s[1] = int(r["total_doc_len"] or 0)
+            return stats
+
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [
+                ex.submit(io.write_postings, postings_out, seg_dir, mode),
+                ex.submit(io.write_docs, docs, seg_dir, mode),
+            ]
             if write_terms:
                 futs.append(
                     ex.submit(
                         write_terms_table, spark, seg_dir, postings_out, io
                     )
                 )
+            stats_fut = ex.submit(_lineage_stats)
             for f in futs:
                 f.result()
+            stats = stats_fut.result()
 
         ms = int((time.monotonic() - t0) * 1000)
         # phase C — lineage LAST (a lineage row means "shard complete",
-        # the resume contract), computed entirely from the cached packed
-        # frame / the in-memory docs plan: no disk read-back job.
-        # The join is LEFT from the *explicit shard list* of the batch, so
-        # a shard with zero docs AND zero postings still gets a (zeroed)
-        # lineage row — otherwise a resumed build would rebuild empty
-        # shards forever and a fully-empty segment would crash read_segment.
-        doc_stats_src = (
-            packed.filter(is_doc_row).select("shard", "doc_len")
-            if single_pass
-            else docs.select("shard", "doc_len")
+        # the resume contract). Rows come from the *explicit shard list*
+        # of the batch, so a shard with zero docs AND zero postings
+        # still gets a (zeroed) lineage row — otherwise a resumed build
+        # would rebuild empty shards forever and a fully-empty segment
+        # would crash read_segment.
+        shard_list = sorted(stats) if shards is None else list(shards)
+        lineage_rows = [
+            tuple([s] + stats.get(s, [0, 0, 0, 0, 0]) + [ms])
+            for s in shard_list
+        ]
+        io.append_lineage(
+            spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA), seg_dir
         )
-        if shards is not None:
-            shard_list = spark.createDataFrame([(s,) for s in shards], "shard int")
-        else:
-            shard_list = packed.select("shard").distinct()
-            if not single_pass:
-                shard_list = shard_list.unionByName(
-                    docs.select("shard")
-                ).distinct()
-        lineage = (
-            shard_list.join(
-                postings_out.groupBy("shard").agg(
-                    F.count("*").alias("n_terms"),
-                    F.sum("n").alias("n_postings"),
-                    F.sum(
-                        F.length("ids") + F.length("tfs") + F.length("dls")
-                    ).alias("packed_bytes"),
-                ),
-                "shard",
-                "left",
-            )
-            .join(
-                doc_stats_src.groupBy("shard").agg(
-                    F.count("*").alias("n_docs"),
-                    F.sum("doc_len").alias("total_doc_len"),
-                ),
-                "shard",
-                "left",
-            )
-            .select(
-                "shard",
-                F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
-                F.coalesce("total_doc_len", F.lit(0)).alias("total_doc_len"),
-                F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
-                F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
-                F.coalesce("packed_bytes", F.lit(0)).alias("packed_bytes"),
-                F.lit(ms).alias("ms"),
-            )
-        )
-        io.append_lineage(lineage, seg_dir)
     finally:
         packed.unpersist()
 
