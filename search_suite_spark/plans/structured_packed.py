@@ -321,6 +321,9 @@ def structured_query_packed(
     docs = seg_list[0].docs.select("doc_id", "url")
     for s in seg_list[1:]:
         docs = docs.unionByName(s.docs.select("doc_id", "url"))
+    out = ids.join(docs, "doc_id")
     # doc_id is xxhash64(url): equal ids ⇒ equal urls, so the distinct
-    # only collapses the same doc appearing in several segments
-    return ids.join(docs, "doc_id").distinct()
+    # only collapses the same doc appearing in SEVERAL segments — with a
+    # single segment both join sides are already unique per doc_id and
+    # the dedupe exchange would shuffle the result for nothing (r6)
+    return out.distinct() if len(seg_list) > 1 else out

@@ -47,10 +47,16 @@ class SegmentIO:
     contract — build_segment re-runs batches of shards idempotently).
     """
 
-    def write_postings(self, df: DataFrame, seg_dir: str, mode: str) -> None:
+    def write_postings(
+        self, df: DataFrame, seg_dir: str, mode: str,
+        n_shards: int | None = None,
+    ) -> None:
         raise NotImplementedError
 
-    def write_docs(self, df: DataFrame, seg_dir: str, mode: str) -> None:
+    def write_docs(
+        self, df: DataFrame, seg_dir: str, mode: str,
+        n_shards: int | None = None,
+    ) -> None:
         raise NotImplementedError
 
     def append_lineage(self, df: DataFrame, seg_dir: str) -> None:
@@ -85,6 +91,47 @@ class SegmentIO:
         without a per-query driver round-trip."""
         return None
 
+    def lineage_summary(
+        self, spark: SparkSession, seg_dir: str
+    ) -> tuple[int, int, int] | None:
+        """(sum n_docs, sum total_doc_len, max shard) of the lineage
+        table from DRIVER-SIDE file reads — no Spark job (the Iceberg
+        analogue is a snapshot-summary read). The lineage table is
+        one tiny row per completed shard, so reading it through a
+        distributed aggregation costs a whole job submit for a handful
+        of rows; read_segment runs after EVERY build/merge, making that
+        submit a fixed tail on every timed build. None = unknown →
+        read_segment falls back to the Spark aggregation."""
+        return None
+
+
+def _shard_write_partitioned(df, salt_col, n_shards):
+    """Partitioning for a shard-layout write: one write task per shard
+    when shards saturate the cluster (the file-per-shard layout queries
+    like — listing/footer cost is per file), but when a segment has
+    FEWER shards than cores (2-shard skew tiers, small collections) a
+    plain repartition("shard") collapses the write into n_shards
+    single-threaded tasks — a serial tail that measured 2.4x slower
+    than the salted form at 600k docs / 2 shards. Salting by
+    pmod(xxhash64(salt_col), k), k = cores/n_shards, restores write
+    parallelism and bounds files per shard at k (the in-file sort and
+    row-group min/max pruning are unaffected — each file stays sorted).
+    k = 1 (shards >= cores, or no hint) reproduces the exact old layout.
+    """
+    from pyspark.sql import functions as F
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    k = 1 if not n_shards else max(1, par // n_shards)
+    if k == 1:
+        return df.repartition("shard")
+    # 2x partitions over the (shard, salt) key count: hash collisions
+    # on a 1:1 mapping would leave ~1/3 of write slots idle (§2.5 of the
+    # optimization playbook); empty partitions cost nothing
+    return df.repartition(
+        n_shards * k * 2, F.col("shard"),
+        F.pmod(F.xxhash64(F.col(salt_col)), F.lit(k)),
+    )
+
 
 class ParquetSegmentIO(SegmentIO):
     """Plain-parquet segment store (the sandbox default).
@@ -96,18 +143,24 @@ class ParquetSegmentIO(SegmentIO):
     min/max statistics prune scans.
     """
 
-    def write_postings(self, df: DataFrame, seg_dir: str, mode: str) -> None:
+    def write_postings(
+        self, df: DataFrame, seg_dir: str, mode: str,
+        n_shards: int | None = None,
+    ) -> None:
         (
-            df.repartition("shard")
+            _shard_write_partitioned(df, "term", n_shards)
             .sortWithinPartitions("term")
             .write.mode(mode)
             .partitionBy("shard")
             .parquet(os.path.join(seg_dir, "postings"))
         )
 
-    def write_docs(self, df: DataFrame, seg_dir: str, mode: str) -> None:
+    def write_docs(
+        self, df: DataFrame, seg_dir: str, mode: str,
+        n_shards: int | None = None,
+    ) -> None:
         (
-            df.repartition("shard")
+            _shard_write_partitioned(df, "doc_id", n_shards)
             .sortWithinPartitions("doc_id")
             .write.mode(mode)
             .partitionBy("shard")
@@ -169,6 +222,42 @@ class ParquetSegmentIO(SegmentIO):
 
     def deletes_count(self, spark: SparkSession, seg_dir: str) -> int | None:
         return _footer_row_count(os.path.join(seg_dir, "deletes"))
+
+    def lineage_summary(
+        self, spark: SparkSession, seg_dir: str
+    ) -> tuple[int, int, int] | None:
+        return _lineage_summary_of_dirs([os.path.join(seg_dir, "lineage")])
+
+
+def _lineage_summary_of_dirs(dirs: list[str]) -> tuple[int, int, int]:
+    """Driver-side (Σ n_docs, Σ total_doc_len, max shard) over the
+    lineage parquet files under ``dirs`` — pyarrow column reads, no
+    Spark job. Missing dirs/files behave like an empty table."""
+    import pyarrow.parquet as pq
+
+    nd = tdl = 0
+    max_shard = -1
+    for d in dirs:
+        if not os.path.isdir(d):
+            continue
+        for root, _, files in os.walk(d):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(
+                    os.path.join(root, f),
+                    columns=["shard", "n_docs", "total_doc_len"],
+                )
+                if t.num_rows == 0:
+                    continue
+                import pyarrow.compute as pc
+
+                nd += pc.sum(t.column("n_docs")).as_py() or 0
+                tdl += pc.sum(t.column("total_doc_len")).as_py() or 0
+                mx = pc.max(t.column("shard")).as_py()
+                if mx is not None and mx > max_shard:
+                    max_shard = mx
+    return nd, tdl, max_shard
 
 
 def _footer_row_count(table_dir: str) -> int:
@@ -281,7 +370,8 @@ class ManifestSegmentIO(SegmentIO):
         return [os.path.join(seg_dir, table, r) for r in rels]
 
     def _write_sharded(
-        self, df: DataFrame, seg_dir: str, table: str, mode: str
+        self, df: DataFrame, seg_dir: str, table: str, mode: str,
+        n_shards: int | None = None,
     ) -> None:
         from pyspark.sql import functions as F
 
@@ -289,8 +379,9 @@ class ManifestSegmentIO(SegmentIO):
         commit = self._next_commit(seg_dir, table)
         abs_commit = os.path.join(seg_dir, table, commit)
         (
-            df.withColumn("_p_shard", F.col("shard"))
-            .repartition("shard")
+            _shard_write_partitioned(
+                df.withColumn("_p_shard", F.col("shard")), sort_col, n_shards
+            )
             .sortWithinPartitions(sort_col)
             .write.mode("overwrite")
             .partitionBy("_p_shard")
@@ -333,11 +424,17 @@ class ManifestSegmentIO(SegmentIO):
         reader = spark.read.schema(schema) if schema else spark.read
         return reader.parquet(*paths)
 
-    def write_postings(self, df: DataFrame, seg_dir: str, mode: str) -> None:
-        self._write_sharded(df, seg_dir, "postings", mode)
+    def write_postings(
+        self, df: DataFrame, seg_dir: str, mode: str,
+        n_shards: int | None = None,
+    ) -> None:
+        self._write_sharded(df, seg_dir, "postings", mode, n_shards)
 
-    def write_docs(self, df: DataFrame, seg_dir: str, mode: str) -> None:
-        self._write_sharded(df, seg_dir, "docs", mode)
+    def write_docs(
+        self, df: DataFrame, seg_dir: str, mode: str,
+        n_shards: int | None = None,
+    ) -> None:
+        self._write_sharded(df, seg_dir, "docs", mode, n_shards)
 
     def append_lineage(self, df: DataFrame, seg_dir: str) -> None:
         self._append_commit(df, seg_dir, "lineage")
@@ -397,6 +494,15 @@ class ManifestSegmentIO(SegmentIO):
         for p in self._live_paths(seg_dir, "deletes"):
             n += _footer_row_count(p) if os.path.isdir(p) else 0
         return n
+
+    def lineage_summary(
+        self, spark: SparkSession, seg_dir: str
+    ) -> tuple[int, int, int] | None:
+        try:
+            paths = self._live_paths(seg_dir, "lineage")
+        except FileNotFoundError:
+            return (0, 0, -1)
+        return _lineage_summary_of_dirs([p for p in paths if os.path.isdir(p)])
 
 
 DEFAULT_IO: SegmentIO = ParquetSegmentIO()

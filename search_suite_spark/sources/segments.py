@@ -552,8 +552,10 @@ def pack_and_write(
 
         with cf.ThreadPoolExecutor(max_workers=4) as ex:
             futs = [
-                ex.submit(io.write_postings, postings_out, seg_dir, mode),
-                ex.submit(io.write_docs, docs, seg_dir, mode),
+                ex.submit(
+                    io.write_postings, postings_out, seg_dir, mode, n_shards
+                ),
+                ex.submit(io.write_docs, docs, seg_dir, mode, n_shards),
             ]
             if write_terms:
                 futs.append(
@@ -710,23 +712,31 @@ def read_segment(
     io = io or current_io()
     postings = io.read_postings(spark, seg_dir)
     docs = io.read_docs(spark, seg_dir)
-    lineage = io.read_lineage(spark, seg_dir)
-    stats = lineage.agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("nd"),
-        F.coalesce(F.sum("total_doc_len"), F.lit(0)).alias("tdl"),
-        F.coalesce(F.max("shard"), F.lit(-1)).alias("max_shard"),
-    ).collect()[0]
+    # segment totals come from the lineage table — a handful of rows; a
+    # driver-side metadata read when the backend offers one (both
+    # shipped backends do), else one small Spark aggregation. This runs
+    # after every build/merge, so the saved job submit is a fixed tail
+    # off every timed build.
+    summary = io.lineage_summary(spark, seg_dir)
+    if summary is None:
+        lineage = io.read_lineage(spark, seg_dir)
+        row = lineage.agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("nd"),
+            F.coalesce(F.sum("total_doc_len"), F.lit(0)).alias("tdl"),
+            F.coalesce(F.max("shard"), F.lit(-1)).alias("max_shard"),
+        ).collect()[0]
+        summary = (int(row["nd"]), int(row["tdl"]), int(row["max_shard"]))
     deletes = io.read_deletes(spark, seg_dir)
     terms = io.read_terms(spark, seg_dir)
     return Segment(
         path=seg_dir,
         postings=postings,
         docs=docs,
-        num_docs=int(stats["nd"]),
-        total_doc_len=int(stats["tdl"]),
+        num_docs=int(summary[0]),
+        total_doc_len=int(summary[1]),
         deletes=deletes,
         terms=terms,
-        n_shards=int(stats["max_shard"]) + 1,
+        n_shards=int(summary[2]) + 1,
         n_deletes_hint=(
             io.deletes_count(spark, seg_dir) if deletes is not None else 0
         ),

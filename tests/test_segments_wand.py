@@ -160,8 +160,6 @@ def test_build_dedupe_per_batch_and_resume(spark, tmp_path):
 
     # crash after the first batch; the resumed build must keep the same
     # dedupe result even though it only re-tokenizes the missing shards
-    import os
-
     lin_pd = (
         spark.read.parquet(f"{d}/lineage").filter(F.col("shard") < 2).toPandas()
     )
