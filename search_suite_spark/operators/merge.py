@@ -47,7 +47,11 @@ from search_suite_spark.sources.segments import (
     shard_of_doc_id,
 )
 
-FLAT_SCHEMA = "term string, doc_id long, tf long, doc_len long"
+# tf/doc_len as int32: halves their bytes through the merge's one big
+# exchange and the two Arrow boundaries (guide §2.3, narrower types) —
+# doc_len is int32 in the packed schema already and tf is a count the
+# single-pass build stores as int
+FLAT_SCHEMA = "term string, doc_id long, tf int, doc_len int"
 
 
 def _concat_binary(arr) -> tuple[np.ndarray, np.ndarray]:
@@ -116,8 +120,8 @@ def unpack_flat(seg: Segment) -> DataFrame:
                 [
                     pc.take(arr("term"), pa.array(list_idx)),
                     pa.array(ids.view(np.int64)),
-                    pa.array(tfs.astype(np.int64)),
-                    pa.array(dls.astype(np.int64)),
+                    pa.array(tfs.astype(np.int32)),
+                    pa.array(dls.astype(np.int32)),
                 ],
                 names=["term", "doc_id", "tf", "doc_len"],
             )

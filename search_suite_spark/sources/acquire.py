@@ -93,6 +93,7 @@ def fetch_url_list(
     fetcher: Callable[[str], bytes] = default_fetcher,
     max_concurrency: int = 10,
     ts: str = DEFAULT_TS,
+    min_delay_s: float = 0.0,
 ) -> DataFrame:
     """S3 fetch stage → one row per input url:
     (url, ok, error, warc_ts, html, text, lang).
@@ -155,8 +156,23 @@ def fetch_url_list(
 
         def host_seq(urls: list[str]) -> list[tuple]:
             # politeness: ONE host's urls fetch strictly sequentially
-            # on one thread — never two in-flight requests to a host
-            return [one(u) for u in urls]
+            # on one thread — never two in-flight requests to a host —
+            # and, with min_delay_s > 0, consecutive request STARTS to
+            # the host are spaced at least that far apart (the
+            # reference crawler's timed frontier schedules a minimum
+            # per-host delay, crawler-lib TimedFrontier.hs:20-50)
+            import time as _time
+
+            out: list[tuple] = []
+            next_start = 0.0
+            for u in urls:
+                if min_delay_s > 0:
+                    wait = next_start - _time.monotonic()
+                    if wait > 0:
+                        _time.sleep(wait)
+                    next_start = _time.monotonic() + min_delay_s
+                out.append(one(u))
+            return out
 
         with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
             for pdf in batches:
@@ -199,6 +215,7 @@ def ingest_url_list(
     fetcher: Callable[[str], bytes] = default_fetcher,
     max_concurrency: int = 10,
     ts: str = DEFAULT_TS,
+    min_delay_s: float = 0.0,
 ) -> tuple[DataFrame, dict[str, list[str]]]:
     """S3 end-to-end shape: (pages frame of the successes, the
     reference's {"success": [urls], "failure": [urls]} report map,
@@ -210,7 +227,7 @@ def ingest_url_list(
     the caller unpersists after indexing it (or lets the session drop)."""
     fetched = fetch_url_list(
         spark, url_lines, fetcher=fetcher,
-        max_concurrency=max_concurrency, ts=ts,
+        max_concurrency=max_concurrency, ts=ts, min_delay_s=min_delay_s,
     )
     pages = fetched.filter(F.col("ok")).select(
         "url", "warc_ts", "html", "text", "lang"

@@ -293,7 +293,11 @@ class ManifestSegmentIO(SegmentIO):
 
     Iceberg mapping (what the production impl substitutes, per
     ICEBERG_LAYOUT — the sandbox ships no Iceberg runtime jars, so the
-    file-based twin IS the shipped catalog):
+    file-based twin IS the shipped catalog; re-verified 2026-08-22: no
+    iceberg-spark-runtime jar anywhere on the image and no network to
+    fetch one, so a real-Iceberg lifecycle run remains impossible here
+    — this manifest backend stays the documented stand-in, exercised by
+    the full suite behind the same SegmentIO seam):
 
       manifest.json atomic swap   → Iceberg metadata.json pointer swap
                                      (catalog compare-and-set commit)
