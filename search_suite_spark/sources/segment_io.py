@@ -104,6 +104,15 @@ class SegmentIO:
         read_segment falls back to the Spark aggregation."""
         return None
 
+    def lineage_shards(
+        self, spark: SparkSession, seg_dir: str
+    ) -> set[int] | None:
+        """The set of shards with a lineage row (= completed, the
+        resume contract), from driver-side file reads — no Spark job.
+        None = unknown → completed_shards falls back to a distributed
+        read."""
+        return None
+
 
 def _shard_write_partitioned(df, salt_col, n_shards):
     """Partitioning for a shard-layout write: one write task per shard
@@ -227,6 +236,32 @@ class ParquetSegmentIO(SegmentIO):
         self, spark: SparkSession, seg_dir: str
     ) -> tuple[int, int, int] | None:
         return _lineage_summary_of_dirs([os.path.join(seg_dir, "lineage")])
+
+    def lineage_shards(
+        self, spark: SparkSession, seg_dir: str
+    ) -> set[int] | None:
+        return _lineage_shards_of_dirs([os.path.join(seg_dir, "lineage")])
+
+
+def _lineage_shards_of_dirs(dirs: list[str]) -> set[int]:
+    """Driver-side distinct shard ids over the lineage parquet files
+    under ``dirs`` — pyarrow column reads, no Spark job."""
+    import pyarrow.parquet as pq
+
+    shards: set[int] = set()
+    for d in dirs:
+        if not os.path.isdir(d):
+            continue
+        for root, _, files in os.walk(d):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(root, f), columns=["shard"])
+                shards.update(
+                    int(s) for s in t.column("shard").to_pylist()
+                    if s is not None
+                )
+    return shards
 
 
 def _lineage_summary_of_dirs(dirs: list[str]) -> tuple[int, int, int]:
@@ -507,6 +542,15 @@ class ManifestSegmentIO(SegmentIO):
         except FileNotFoundError:
             return (0, 0, -1)
         return _lineage_summary_of_dirs([p for p in paths if os.path.isdir(p)])
+
+    def lineage_shards(
+        self, spark: SparkSession, seg_dir: str
+    ) -> set[int] | None:
+        try:
+            paths = self._live_paths(seg_dir, "lineage")
+        except FileNotFoundError:
+            return set()
+        return _lineage_shards_of_dirs([p for p in paths if os.path.isdir(p)])
 
 
 DEFAULT_IO: SegmentIO = ParquetSegmentIO()

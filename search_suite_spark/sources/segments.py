@@ -623,6 +623,11 @@ def completed_shards(
 ) -> set[int]:
     io = io or current_io()
     try:
+        # driver-side metadata read when the backend offers one — a
+        # resume check should not cost a Spark job submit
+        shards = io.lineage_shards(spark, seg_dir)
+        if shards is not None:
+            return shards
         rows = io.read_lineage(spark, seg_dir).select("shard").distinct().collect()
     except Exception:
         return set()
