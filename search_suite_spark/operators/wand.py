@@ -760,6 +760,16 @@ def wand_scored(
     # rows, and the k-boundary tie-break lands on url — a deterministic,
     # externally-reproducible order (the packed and flat paths then agree
     # with the SQL oracle's ORDER BY score DESC, url even on exact ties).
+    # Broadcast the CANDIDATE side (r6): without the hint the planner
+    # either broadcasts the whole docs table (rebuilt per query — 25 MB
+    # at 500k docs) or, past the auto-broadcast threshold, sort-merges —
+    # shuffling the docs table per query. Candidates are k·n_shards plus
+    # θ-ties (a degenerate all-tied corpus could inflate this; such a
+    # corpus breaks the unhinted plan's docs shuffle just as hard).
+    # Measured at 500k docs: cold p50 0.86-1.01 s → 0.68-0.70 s.
+    # Unbounded result sets (max_results=None) keep the planner's choice.
+    if max_results is not None:
+        cands = F.broadcast(cands)
     out = cands.join(seg.docs.select("doc_id", "url"), "doc_id")
     if max_results is not None:
         out = out.orderBy(F.col("score").desc(), F.col("url")).limit(max_results)
@@ -847,6 +857,9 @@ def wand_partial(
             .applyInPandas(cg, PARTIAL_RESULT_SCHEMA)
         )
 
+    # candidate-side broadcast for the url resolve — see wand_scored
+    if max_results is not None:
+        cands = F.broadcast(cands)
     out = cands.join(seg.docs.select("doc_id", "url"), "doc_id")
     if max_results is not None:
         out = out.orderBy(
