@@ -12,6 +12,7 @@ Usage:
     python bench_extra.py minhash     # row-wise vs column-wise band signatures
     python bench_extra.py wand        # url-resolve join: planner vs candidate broadcast
     python bench_extra.py merge_tail  # sequential vs concurrent write tail (x10 merge)
+    python bench_extra.py merge_packed # packed-row vs flat-row segment merge (1x + x10)
     python bench_extra.py build_tail  # phase profile of the 1x packed build
 """
 
@@ -216,6 +217,51 @@ def exp_merge_tail():
     spark.stop()
 
 
+def exp_merge_packed():
+    """Packed-row merge (shuffle compressed posting rows, decode+drop+
+    repack in one kernel) vs the flat-row merge it replaced, alternated
+    in one session at 1x and 10x. The flat path is forced by stubbing
+    the fast-path gate."""
+    from pyspark.sql import functions as F
+
+    from search_suite_spark.operators import merge as M
+    from search_suite_spark.sources.corpus import pages_from_documents
+    from search_suite_spark.sources.segments import build_segment
+
+    spark = _spark("exp_merge_packed")
+    real = M._merge_packed
+    for repl, label, runs in [(10, "1x", 3), (100, "x10", 3)]:
+        pages = pages_from_documents(spark, SF_DIR, replication=repl).cache()
+        pages.count()
+        d_a, d_b = tempfile.mkdtemp(), tempfile.mkdtemp()
+        try:
+            half_a = build_segment(
+                pages.filter(F.xxhash64("url") % 2 == 0), d_a,
+                n_shards=max(CPUS, 16), shards_per_batch=max(CPUS, 16),
+                resume=False, dedupe=False)
+            half_b = build_segment(
+                pages.filter(F.xxhash64("url") % 2 != 0), d_b,
+                n_shards=max(CPUS, 16), shards_per_batch=max(CPUS, 16),
+                resume=False, dedupe=False)
+            pages.unpersist()
+            for i in range(runs):
+                for tag, gate in [("packed", real),
+                                  ("flat  ", lambda *a, **k: False)]:
+                    M._merge_packed = gate
+                    d_m = tempfile.mkdtemp()
+                    t0 = time.monotonic()
+                    M.merge_segments(spark, half_a, half_b, d_m,
+                                     n_shards=max(CPUS, 16))
+                    print(f"{label} merge {tag} run{i}: "
+                          f"{time.monotonic() - t0:.2f}s", flush=True)
+                    shutil.rmtree(d_m)
+        finally:
+            M._merge_packed = real
+            shutil.rmtree(d_a, ignore_errors=True)
+            shutil.rmtree(d_b, ignore_errors=True)
+    spark.stop()
+
+
 def exp_build_tail():
     """Phase profile of the 1x packed build — see
     tools/profile_r06_phases.py for the full sequential decomposition
@@ -230,5 +276,6 @@ if __name__ == "__main__":
         "minhash": exp_minhash,
         "wand": exp_wand,
         "merge_tail": exp_merge_tail,
+        "merge_packed": exp_merge_packed,
         "build_tail": exp_build_tail,
     }[which]()

@@ -382,6 +382,7 @@ def pack_and_write(
     io: SegmentIO | None = None,
     max_row_postings: int | None = None,
     with_warc_ts: bool = False,
+    packed_input: bool = False,
 ) -> None:
     """Pack flat postings (+ docs rows) into segment tables under seg_dir
     and append per-shard lineage.
@@ -400,7 +401,10 @@ def pack_and_write(
     full-tokenize docs pass measurably broke core scaling).
     ``shards`` restricts the lineage computation to a batch (resume
     granularity). ``io`` is the storage seam (segment_io.SegmentIO) —
-    every persisted byte goes through it.
+    every persisted byte goes through it. ``packed_input`` means ``flat``
+    already IS the packed postings frame (PACKED_SCHEMA — the packed
+    merge path runs its own shuffle+kernel): skip the pre/kernel stage
+    and go straight to the write phase.
     """
     io = io or current_io()
     t0 = time.monotonic()
@@ -418,7 +422,9 @@ def pack_and_write(
     # before the Arrow boundary (the kernel re-derives it from doc_id),
     # keeping per-row serialization to the columns the kernel needs.
     u64sort = F.col("doc_id").bitwiseXOR(F.lit(_U64_SIGN_FLIP))
-    if single_pass:
+    if packed_input:
+        packed = flat.persist()
+    elif single_pass:
         # build path: tf is counted by a hash aggregation planned ABOVE
         # the explicit repartition — its required distribution is already
         # satisfied by the one exchange, so Catalyst runs BOTH partial
@@ -463,7 +469,8 @@ def pack_and_write(
             .sortWithinPartitions("shard", "term", u64sort)
             .select(*arrow_cols)
         )
-    packed = pre.mapInArrow(kernel, PACK_STREAM_SCHEMA).persist()
+    if not packed_input:
+        packed = pre.mapInArrow(kernel, PACK_STREAM_SCHEMA).persist()
     try:
         is_doc_row = F.col("term").isNull()
         postings_out = packed.filter(~is_doc_row).select(

@@ -150,6 +150,29 @@ def main() -> None:
                 "shard", shard_of_doc_id(8))
             dump("merge_flat_union", merge_flat)
 
+            # the packed-row merge pipeline (the shipped fast path):
+            # compressed rows through the one exchange, decode+drop+
+            # repack in a single kernel — mirrors merge._merge_packed
+            from search_suite_spark.operators.merge import (
+                _merge_packed_arrow,
+            )
+            from search_suite_spark.sources.segments import PACKED_SCHEMA
+            parts = [
+                s.postings.select(
+                    "term", "shard",
+                    F.lit(i).cast("tinyint").alias("side"),
+                    "n", "ids", "tfs", "dls")
+                for i, s in ((0, half_a), (1, half_b))
+            ]
+            merge_packed = (
+                parts[0].unionByName(parts[1])
+                .repartition(npart, F.col("shard"),
+                             F.pmod(F.xxhash64("term"), F.lit(64)))
+                .sortWithinPartitions("shard", "term")
+                .mapInArrow(_merge_packed_arrow(None, None), PACKED_SCHEMA)
+            )
+            dump("merge_packed", merge_packed)
+
             from search_suite_spark.sources.registry import (
                 query_collection_partial,
             )
