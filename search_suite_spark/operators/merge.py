@@ -428,9 +428,14 @@ def _merge_packed(
             .sortWithinPartitions("shard", "term")
             .mapInArrow(_merge_packed_arrow(bc_a, bc_b), PACKED_SCHEMA)
         )
+        # explicit shard list: zero-doc shards still get a (zeroed)
+        # lineage row, so the merged segment's shard-count metadata is
+        # exact and merge-of-merge chains (compaction's steady state)
+        # keep qualifying for this fast path
         pack_and_write(
             spark, merged, docs, dest_dir, n_shards, n_tbuckets,
             write_terms=True, packed_input=True,
+            shards=list(range(n_shards)),
         )
     finally:
         for bc in (bc_a, bc_b):
@@ -503,8 +508,11 @@ def merge_segments(
     flat = flat.withColumn("shard", shard_of_doc_id(n_shards))
 
     # write_terms=True: the merge covers the whole segment in one pass,
-    # so the dictionary comes from the persisted packed frame directly
+    # so the dictionary comes from the persisted packed frame directly.
+    # Explicit shard list for the same reason as the packed path: exact
+    # shard-count metadata on the merged segment.
     pack_and_write(
-        spark, flat, docs, dest_dir, n_shards, n_tbuckets, write_terms=True
+        spark, flat, docs, dest_dir, n_shards, n_tbuckets, write_terms=True,
+        shards=list(range(n_shards)),
     )
     return read_segment(spark, dest_dir)

@@ -123,6 +123,7 @@ def test_packed_merge_self_merge(spark, tmp_path, monkeypatch):
     assert used["packed"] is True
     assert m.num_docs == len(DOCS_A)
     assert m.total_doc_len == a.total_doc_len
+    assert m.n_shards == 2
     assert _postings_content(m) == _postings_content(a)
 
 
@@ -162,6 +163,10 @@ def test_packed_merge_reshard_falls_back(spark, tmp_path, monkeypatch):
     m = M.merge_segments(spark, a, b, str(tmp_path / "m_rs"), n_shards=4)
     assert used["packed"] is False
     assert m.num_docs == 7  # 8 - dup
+    # merged segments carry EXACT shard-count metadata (zeroed lineage
+    # rows for empty shards), so later merges of this segment at the
+    # same n_shards qualify for the packed fast path
+    assert m.n_shards == 4
     assert {r["url"] for r in wand_scored(m, "foo").collect()} == {
         "http://a1", "http://b1",
     }
