@@ -6,6 +6,7 @@ merge it replaces, across deletes, A-wins url dups and self-merge.
 """
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from search_suite_spark.operators import merge as M
@@ -170,6 +171,105 @@ def test_packed_merge_reshard_falls_back(spark, tmp_path, monkeypatch):
     assert {r["url"] for r in wand_scored(m, "foo").collect()} == {
         "http://a1", "http://b1",
     }
+
+
+def test_packed_merge_batch_boundary_carry(spark, tmp_path, monkeypatch):
+    """Force the merge kernel's group carry-over constantly: with Arrow
+    batches of 2 packed rows, nearly every (shard, term) group straddles
+    a batch boundary. Result must still be identical to the flat path."""
+    docs_a = [(f"http://ca{i}", f"common w{i % 7} t{i}") for i in range(60)]
+    docs_b = [(f"http://cb{i}", f"common w{i % 7} s{i}") for i in range(60)]
+    a = _seg(spark, tmp_path, "cba", docs_a)
+    b = _seg(spark, tmp_path, "cbb", docs_b)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "2")
+        fast = M.merge_segments(
+            spark, a, b, str(tmp_path / "m_cf"), n_shards=2
+        )
+    finally:
+        spark.conf.set(key, old)
+    monkeypatch.setattr(M, "_merge_packed", lambda *a, **k: False)
+    flat = M.merge_segments(spark, a, b, str(tmp_path / "m_cg"), n_shards=2)
+    assert _postings_content(fast) == _postings_content(flat)
+    assert _docs_content(fast) == _docs_content(flat)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # per-doc: (url-id, text word ids, side, deleted)
+        st.tuples(
+            st.integers(0, 11),           # url id — collisions = dups
+            st.lists(st.integers(0, 9), min_size=1, max_size=6),
+            st.booleans(),                # side B?
+            st.booleans(),                # deleted?
+        ),
+        min_size=2, max_size=14,
+    ),
+    st.integers(1, 3),                    # n_shards
+)
+def test_packed_merge_random_parity(spark, tmp_path_factory, docs, n_shards):
+    """Randomized parity: arbitrary url overlap (within AND across
+    sides), deletes on both sides, unicode terms, 1-3 shards — the
+    packed and flat merges must produce identical segments."""
+    tmp = tmp_path_factory.mktemp("mrg_rand")
+    sides: dict[bool, list[tuple[str, str]]] = {False: [], True: []}
+    dels: dict[bool, list[str]] = {False: [], True: []}
+    for uid, words, side_b, deleted in docs:
+        # a url appears at most once PER SIDE (doc_ids are unique within
+        # a segment); the same url on BOTH sides is the A-wins dup case
+        url = f"http://r{uid}"
+        if any(u == url for u, _ in sides[side_b]):
+            continue
+        text = " ".join(f"wörd{w}" for w in words)
+        sides[side_b].append((url, text))
+        if deleted:
+            dels[side_b].append(url)
+    if not sides[False] or not sides[True]:
+        return  # degenerate — empty-side path covered elsewhere
+    live = [u for u, _ in sides[False] if u not in dels[False]]
+    live += [u for u, _ in sides[True] if u not in dels[True]]
+    if not live:
+        return  # fully-deleted merge → empty segment, unsupported by design
+
+    segs = {}
+    for side_b in (False, True):
+        s = build_segment(
+            pages_from_docs_list(spark, sides[side_b]),
+            str(tmp / ("b" if side_b else "a")),
+            n_shards=n_shards,
+        )
+        for url in dels[side_b]:
+            delete_url(spark, s, url)
+        segs[side_b] = read_segment(spark, s.path) if dels[side_b] else s
+
+    used = {}
+    real = M._merge_packed
+
+    def spy(*args, **kw):
+        used["packed"] = real(*args, **kw)
+        return used["packed"]
+
+    try:
+        M._merge_packed = spy
+        fast = M.merge_segments(
+            spark, segs[False], segs[True], str(tmp / "mf"),
+            n_shards=n_shards,
+        )
+        assert used["packed"] is True
+        M._merge_packed = lambda *a, **k: False
+        flat = M.merge_segments(
+            spark, segs[False], segs[True], str(tmp / "mg"),
+            n_shards=n_shards,
+        )
+    finally:
+        M._merge_packed = real
+    assert _postings_content(fast) == _postings_content(flat)
+    assert _docs_content(fast) == _docs_content(flat)
+    assert fast.num_docs == flat.num_docs
+    assert fast.total_doc_len == flat.total_doc_len
 
 
 def test_packed_merge_giant_list_split_parity(spark, tmp_path, monkeypatch):
